@@ -1,0 +1,137 @@
+"""HiFi-GAN-style upsampling decoder (reference: models.py:490-564; HiFi-GAN
+paper arXiv:2010.05646).
+
+conv_pre (k7) + speaker conditioning, 5 ConvTranspose upsample stages
+(8,8,2,2,2 => x512 = hop length), each followed by a 3-kernel MRF (ResBlock1
+with dilations (1,3,5) interleaved with dilation-1 convs), averaged; conv_post
+(k7, no bias) + tanh. All convs weight-normed.
+
+TPU notes: channel-last keeps every conv in NHC layout; the whole stack is a
+single fused XLA program. leaky_relu slope 0.1 matches modules.py:14.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+
+from bert_vits2_tpu.nn.conv import Conv1d, ConvTranspose1d
+from bert_vits2_tpu.nn.conv import normal_init
+
+LRELU_SLOPE = 0.1
+
+
+class ResBlock1(nn.Module):
+    """3 dilated + 3 plain convs with residuals (reference: modules.py:221-322)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        mask = None if x_mask is None else x_mask[..., None]
+        for j, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            if mask is not None:
+                xt = xt * mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                padding=(self.kernel_size * d - d) // 2,
+                use_weight_norm=True,
+                kernel_init=normal_init(0.01),
+                name=f"convs1_{j}",
+            )(xt)
+            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            if mask is not None:
+                xt = xt * mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=(self.kernel_size - 1) // 2,
+                use_weight_norm=True,
+                kernel_init=normal_init(0.01),
+                name=f"convs2_{j}",
+            )(xt)
+            x = xt + x
+        if mask is not None:
+            x = x * mask
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2 dilated convs with residuals (reference: modules.py:325-360)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        mask = None if x_mask is None else x_mask[..., None]
+        for j, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            if mask is not None:
+                xt = xt * mask
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                padding=(self.kernel_size * d - d) // 2,
+                use_weight_norm=True,
+                kernel_init=normal_init(0.01),
+                name=f"convs_{j}",
+            )(xt)
+            x = xt + x
+        if mask is not None:
+            x = x * mask
+        return x
+
+
+class Generator(nn.Module):
+    initial_channel: int
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (8, 8, 2, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 8, 2, 2)
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, g=None):
+        """x: [b, t, inter_channels]; g: [b, gin] -> waveform [b, t * hop]."""
+        num_kernels = len(self.resblock_kernel_sizes)
+        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+
+        x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        if g is not None and self.gin_channels > 0:
+            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g[:, None, :])
+
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(
+                ch,
+                k,
+                u,
+                padding=(k - u) // 2,
+                use_weight_norm=True,
+                kernel_init=normal_init(0.01),
+                name=f"ups_{i}",
+            )(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                block = res_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+
+        x = jax.nn.leaky_relu(x)  # default slope 0.01 here, as in the reference
+        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
+        return jax.numpy.tanh(x)[..., 0]  # [b, t_samples]

@@ -1,0 +1,241 @@
+"""1-D convolution primitives, channel-last, with explicit weight-norm.
+
+Layout: activations are [batch, time, channels] (TPU/XLA-friendly; the
+reference uses [b, c, t] throughout, e.g. modules.py:133-218). Kernels are
+stored [k, in_per_group, out]; weight-normed layers store (v, g) explicitly so
+PyTorch checkpoints (g * v / ||v||, torch.nn.utils.weight_norm) import exactly.
+
+torch parity notes:
+- Conv1d weight_norm: torch weight [out, in, k], dim=0 -> g per out-channel,
+  norm over (in, k). Here: v [k, in, out], g [out], norm over (k, in).
+- ConvTranspose1d weight_norm: torch weight [in, out, k], dim=0 -> g per
+  IN-channel, norm over (out, k). Preserved here (g shape [in]).
+- Default init mimics torch Conv1d (kaiming_uniform a=sqrt(5) == U(+-1/sqrt(fan_in))).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHC", "HIO", "NHC")  # (batch, time, channel) conv dimension numbers
+
+
+def torch_conv_init(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's Conv default."""
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """Conv over time. Input [b, t, c_in] -> [b, t', features].
+
+    padding: int p -> symmetric explicit padding (torch-style), or "VALID".
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: int | str = 0
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: nn.initializers.Initializer | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        fan_in = (in_ch // self.groups) * k
+        kinit = self.kernel_init or torch_conv_init(fan_in)
+        kshape = (k, in_ch // self.groups, self.features)
+
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            # torch init: g = ||v|| at init time; we can't see v here, so g is
+            # initialized to ||v|| lazily via a dependent initializer.
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.linalg.norm(
+                    v.reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            padding = [(self.padding, self.padding)]
+
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride,),
+            padding=padding,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=_DN,
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.features,))
+            y = y + b.astype(dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed conv matching torch ConvTranspose1d(k, stride, padding=p).
+
+    out_len = (t - 1) * stride - 2p + k. Implemented as input-dilated conv with
+    the kernel flipped in time (gradient-of-conv formulation), which XLA maps
+    to efficient TPU convs.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    use_weight_norm: bool = True
+    kernel_init: nn.initializers.Initializer | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k, s, p = self.kernel_size, self.stride, self.padding
+        fan_in = in_ch * k // s  # torch fan_in for transposed conv grouping=1
+        kinit = self.kernel_init or torch_conv_init(in_ch * k)
+        # stored layout [k, in, out]; torch layout is [in, out, k]
+        kshape = (k, in_ch, self.features)
+
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            # torch weight_norm dim=0 on [in, out, k] -> g per IN channel,
+            # norm over (out, k) for each in-channel.
+            def g_init(key, shape):
+                return jnp.linalg.norm(
+                    jnp.transpose(v, (1, 0, 2)).reshape(in_ch, -1), axis=1
+                )
+
+            g = self.param("g", g_init, (in_ch,))
+            norm = jnp.linalg.norm(
+                jnp.transpose(v, (1, 0, 2)).reshape(in_ch, -1), axis=1
+            )
+            kernel = v * (g / jnp.maximum(norm, 1e-12))[None, :, None]
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        dtype = self.dtype or x.dtype
+        pad = k - 1 - p
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, 0).astype(dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(s,),
+            dimension_numbers=_DN,
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(in_ch * k), (self.features,))
+            y = y + b.astype(dtype)
+        return y
+
+
+class Conv2d(nn.Module):
+    """2-D conv, channel-last [b, h, w, c]. Used by the period discriminators
+    (models.py:567-627: kernels (k,1), strides (s,1)) and the GST reference
+    encoder (models.py:752-808)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = in_ch * kh * kw
+        kshape = (kh, kw, in_ch, self.features)
+        kinit = torch_conv_init(fan_in)
+
+        if self.use_weight_norm:
+            v = self.param("v", kinit, kshape)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.linalg.norm(
+                    v.reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.stride,
+            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.features,))
+            y = y + b.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear layer with torch Linear default init (U(+-1/sqrt(fan_in)))."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / np.sqrt(fan_in)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -bound, bound
+            ),
+            (fan_in, self.features),
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound, bound
+                ),
+                (self.features,),
+            )
+            y = y + b.astype(x.dtype)
+        return y

@@ -1,0 +1,200 @@
+"""Piecewise rational-quadratic spline flow (reference: transforms.py:11-208).
+
+TPU-first rewrite: the reference scatters through boolean masks
+(`outputs[inside_interval_mask] = ...`) which is host-hostile; here every
+element goes through the spline computation with inputs clamped into the
+interval, and `jnp.where` selects the identity/linear-tail branch outside.
+Bin lookup is a vectorized comparison-sum (one [..., num_bins+1] reduction)
+instead of searchsorted. Numerics match the reference at fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_MIN_BIN_WIDTH = 1e-3
+DEFAULT_MIN_BIN_HEIGHT = 1e-3
+DEFAULT_MIN_DERIVATIVE = 1e-3
+
+
+def _bin_positions(unnormalized, num_bins, min_size, left, right):
+    """Softmax bin sizes -> (cum_positions [..., nb+1], sizes [..., nb])."""
+    w = jax.nn.softmax(unnormalized, axis=-1)
+    w = min_size + (1.0 - min_size * num_bins) * w
+    cum = jnp.cumsum(w, axis=-1)
+    cum = jnp.pad(cum, [(0, 0)] * (cum.ndim - 1) + [(1, 0)])
+    cum = (right - left) * cum + left
+    # pin the endpoints exactly (ref: transforms.py:130-131)
+    cum = cum.at[..., 0].set(left)
+    cum = cum.at[..., -1].set(right)
+    sizes = cum[..., 1:] - cum[..., :-1]
+    return cum, sizes
+
+
+def _search_bin(cum, x, eps=1e-6):
+    """Index of the bin containing x. Ref searchsorted (transforms.py:44-46)."""
+    locs = cum.at[..., -1].add(eps)
+    idx = jnp.sum((x[..., None] >= locs).astype(jnp.int32), axis=-1) - 1
+    nb = cum.shape[-1] - 1
+    return jnp.clip(idx, 0, nb - 1)
+
+
+def rational_quadratic_spline(
+    inputs: jax.Array,
+    unnormalized_widths: jax.Array,
+    unnormalized_heights: jax.Array,
+    unnormalized_derivatives: jax.Array,
+    inverse: bool = False,
+    left: float = 0.0,
+    right: float = 1.0,
+    bottom: float = 0.0,
+    top: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+):
+    """Monotonic RQ spline on [left,right]->[bottom,top]. Ref: transforms.py:101-208.
+
+    All tensors share leading shape [...]; the three `unnormalized_*` have a
+    trailing bin axis. Returns (outputs, logabsdet), both shaped like inputs.
+    Inputs are assumed inside the interval (callers clamp; the unconstrained
+    wrapper handles the tails).
+    """
+    num_bins = unnormalized_widths.shape[-1]
+
+    cumwidths, widths = _bin_positions(
+        unnormalized_widths, num_bins, min_bin_width, left, right
+    )
+    derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
+    cumheights, heights = _bin_positions(
+        unnormalized_heights, num_bins, min_bin_height, bottom, top
+    )
+
+    bin_idx = _search_bin(cumheights if inverse else cumwidths, inputs)[..., None]
+
+    def take(t):
+        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+
+    in_cumwidths = take(cumwidths)
+    in_widths = take(widths)
+    in_cumheights = take(cumheights)
+    in_heights = take(heights)
+    delta = heights / widths
+    in_delta = take(delta)
+    in_deriv = take(derivatives)
+    in_deriv_p1 = jnp.take_along_axis(derivatives[..., 1:], bin_idx, axis=-1)[..., 0]
+
+    if inverse:
+        term = inputs - in_cumheights
+        dsum = in_deriv + in_deriv_p1 - 2.0 * in_delta
+        a = term * dsum + in_heights * (in_delta - in_deriv)
+        b = in_heights * in_deriv - term * dsum
+        c = -in_delta * term
+        discriminant = b * b - 4.0 * a * c
+        # numerically guard; discriminant >= 0 for in-domain inputs
+        root = (2.0 * c) / (-b - jnp.sqrt(jnp.maximum(discriminant, 0.0)))
+        outputs = root * in_widths + in_cumwidths
+        theta_1m = root * (1.0 - root)
+        denominator = in_delta + dsum * theta_1m
+        deriv_num = in_delta**2 * (
+            in_deriv_p1 * root**2 + 2.0 * in_delta * theta_1m + in_deriv * (1.0 - root) ** 2
+        )
+        logabsdet = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
+        return outputs, -logabsdet
+    else:
+        theta = (inputs - in_cumwidths) / in_widths
+        theta_1m = theta * (1.0 - theta)
+        numerator = in_heights * (in_delta * theta**2 + in_deriv * theta_1m)
+        dsum = in_deriv + in_deriv_p1 - 2.0 * in_delta
+        denominator = in_delta + dsum * theta_1m
+        outputs = in_cumheights + numerator / denominator
+        deriv_num = in_delta**2 * (
+            in_deriv_p1 * theta**2 + 2.0 * in_delta * theta_1m + in_deriv * (1.0 - theta) ** 2
+        )
+        logabsdet = jnp.log(deriv_num) - 2.0 * jnp.log(denominator)
+        return outputs, logabsdet
+
+
+def unconstrained_rational_quadratic_spline(
+    inputs: jax.Array,
+    unnormalized_widths: jax.Array,
+    unnormalized_heights: jax.Array,
+    unnormalized_derivatives: jax.Array,
+    inverse: bool = False,
+    tail_bound: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+):
+    """Linear tails outside [-tail_bound, tail_bound]. Ref: transforms.py:49-99.
+
+    Boundary derivatives are pinned so the spline meets the identity tails with
+    slope 1 (constant = log(e^{1-min_derivative} - 1), transforms.py:69-71).
+    """
+    inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
+
+    constant = float(np.log(np.expm1(1.0 - min_derivative)))
+    pad_shape = [(0, 0)] * (unnormalized_derivatives.ndim - 1) + [(1, 1)]
+    ud = jnp.pad(unnormalized_derivatives, pad_shape)
+    ud = ud.at[..., 0].set(constant)
+    ud = ud.at[..., -1].set(constant)
+
+    clamped = jnp.clip(inputs, -tail_bound, tail_bound)
+    out_in, lad_in = rational_quadratic_spline(
+        clamped,
+        unnormalized_widths,
+        unnormalized_heights,
+        ud,
+        inverse=inverse,
+        left=-tail_bound,
+        right=tail_bound,
+        bottom=-tail_bound,
+        top=tail_bound,
+        min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height,
+        min_derivative=min_derivative,
+    )
+    outputs = jnp.where(inside, out_in, inputs)
+    logabsdet = jnp.where(inside, lad_in, 0.0)
+    return outputs, logabsdet
+
+
+def piecewise_rational_quadratic_transform(
+    inputs,
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    inverse=False,
+    tails=None,
+    tail_bound=1.0,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+):
+    """Dispatcher mirroring the reference API (transforms.py:11-41)."""
+    if tails is None:
+        return rational_quadratic_spline(
+            inputs,
+            unnormalized_widths,
+            unnormalized_heights,
+            unnormalized_derivatives,
+            inverse=inverse,
+            min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height,
+            min_derivative=min_derivative,
+        )
+    if tails != "linear":
+        raise NotImplementedError(f"{tails} tails are not implemented.")
+    return unconstrained_rational_quadratic_spline(
+        inputs,
+        unnormalized_widths,
+        unnormalized_heights,
+        unnormalized_derivatives,
+        inverse=inverse,
+        tail_bound=tail_bound,
+        min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height,
+        min_derivative=min_derivative,
+    )

@@ -1,0 +1,18 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set flags before jax is imported anywhere (SURVEY.md §4: multi-host tests
+use fake-device CPU meshes; real-TPU checks happen in bench.py / the driver).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

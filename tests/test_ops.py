@@ -1,0 +1,231 @@
+"""L0 op tests: golden-value checks for DSP, spline, MAS, masking.
+
+torch (CPU) serves as the oracle for STFT numerics, mirroring the reference's
+use of torch.stft (mel_processing.py:64). The MAS oracle is the pure-numpy
+golden model of the numba DP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert_vits2_tpu import ops
+from bert_vits2_tpu.ops.align import maximum_path_numpy
+from bert_vits2_tpu.ops.stft import hann_window_periodic
+
+
+class TestMasking:
+    def test_sequence_mask(self):
+        m = ops.sequence_mask(jnp.array([2, 4]), 5)
+        np.testing.assert_array_equal(
+            np.asarray(m), [[1, 1, 0, 0, 0], [1, 1, 1, 1, 0]]
+        )
+
+    def test_intersperse(self):
+        assert ops.intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+        out = ops.intersperse_jnp(jnp.array([1, 2, 3]), 0)
+        np.testing.assert_array_equal(np.asarray(out), [0, 1, 0, 2, 0, 3, 0])
+
+    def test_slice_segments(self):
+        x = jnp.arange(24, dtype=jnp.float32).reshape(2, 6, 2)
+        out = ops.slice_segments(x, jnp.array([1, 3]), 2)
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(x[0, 1:3]))
+        np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(x[1, 3:5]))
+
+    def test_rand_slice_in_bounds(self):
+        x = jnp.ones((4, 20, 3))
+        lengths = jnp.array([20, 10, 5, 4])
+        _, starts = ops.rand_slice_segments(x, lengths, 4, jax.random.key(0))
+        starts = np.asarray(starts)
+        assert (starts >= 0).all()
+        assert (starts + 4 <= np.asarray(lengths)).all()
+
+    def test_generate_path(self):
+        # durations [2, 1, 3] over t_y=6
+        dur = jnp.array([[2, 1, 3]], dtype=jnp.float32)
+        x_mask = jnp.ones((1, 3))
+        y_mask = jnp.ones((1, 6))
+        path = np.asarray(ops.generate_path(dur, x_mask, y_mask))[0]
+        expected = np.zeros((6, 3))
+        expected[0:2, 0] = 1
+        expected[2:3, 1] = 1
+        expected[3:6, 2] = 1
+        np.testing.assert_array_equal(path, expected)
+        # each frame attends exactly one token
+        assert (path.sum(-1) == 1).all()
+
+
+class TestSTFT:
+    @pytest.mark.parametrize("t", [8192, 16384])
+    def test_spectrogram_matches_torch(self, t):
+        import torch
+
+        n_fft, hop, win = 1024, 256, 1024
+        rng = np.random.default_rng(0)
+        y = rng.uniform(-0.9, 0.9, size=(2, t)).astype(np.float32)
+
+        ours = np.asarray(ops.spectrogram(jnp.asarray(y), n_fft, hop, win))
+
+        yt = torch.from_numpy(y)
+        pad = (n_fft - hop) // 2
+        yt = torch.nn.functional.pad(yt.unsqueeze(1), (pad, pad), mode="reflect")[:, 0]
+        spec = torch.stft(
+            yt,
+            n_fft,
+            hop_length=hop,
+            win_length=win,
+            window=torch.hann_window(win),
+            center=False,
+            onesided=True,
+            return_complex=True,
+        )
+        golden = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-6).numpy()
+        golden = np.transpose(golden, (0, 2, 1))  # to channel-last
+        assert ours.shape == golden.shape
+        np.testing.assert_allclose(ours, golden, atol=2e-3, rtol=1e-4)
+
+    def test_frame_count_is_t_over_hop(self):
+        spec = ops.spectrogram(jnp.zeros((1, 16384)), 2048, 512, 2048)
+        assert spec.shape == (1, 32, 1025)
+
+    def test_hann_periodic(self):
+        import torch
+
+        np.testing.assert_allclose(
+            hann_window_periodic(64), torch.hann_window(64).numpy(), atol=1e-6
+        )
+
+    def test_mel_filterbank_slaney_properties(self):
+        fb = ops.mel_filterbank(44100, 2048, 128, 0.0, None)
+        assert fb.shape == (128, 1025)
+        assert (fb >= 0).all()
+        # every filter has support; filters overlap only with neighbors
+        assert (fb.sum(axis=1) > 0).all()
+        # slaney norm: peak of each triangle equals 2/(width in Hz)
+        # -> check against a hand-computed small case at linear (sub-1kHz) range
+        fb_small = ops.mel_filterbank(8000, 512, 4, 0.0, 1000.0)
+        assert fb_small.shape == (4, 257)
+
+    def test_mel_spectrogram_shape_and_finite(self):
+        y = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (2, 16384)), jnp.float32)
+        mel = ops.mel_spectrogram(y, 2048, 128, 44100, 512, 2048, 0.0, None)
+        assert mel.shape == (2, 32, 128)
+        assert np.isfinite(np.asarray(mel)).all()
+        # silence: magnitude floor is sqrt(1e-6)=1e-3 (mel_processing.py:77),
+        # so the log-mel of silence is a constant per-mel value, same per frame
+        mel0 = np.asarray(
+            ops.mel_spectrogram(jnp.zeros((1, 4096)), 2048, 128, 44100, 512, 2048, 0.0, None)
+        )
+        assert (mel0 < -9.0).all()
+        np.testing.assert_allclose(mel0[0, 0], mel0[0, -1], atol=1e-5)
+
+
+class TestSpline:
+    def _params(self, shape, num_bins=10, seed=0):
+        rng = np.random.default_rng(seed)
+        w = rng.normal(size=shape + (num_bins,)).astype(np.float32)
+        h = rng.normal(size=shape + (num_bins,)).astype(np.float32)
+        d = rng.normal(size=shape + (num_bins - 1,)).astype(np.float32)
+        return jnp.asarray(w), jnp.asarray(h), jnp.asarray(d)
+
+    def test_forward_inverse_roundtrip(self):
+        shape = (4, 7)
+        w, h, d = self._params(shape)
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(-8, 8, size=shape).astype(np.float32)
+        )
+        y, lad = ops.piecewise_rational_quadratic_transform(
+            x, w, h, d, inverse=False, tails="linear", tail_bound=5.0
+        )
+        x2, lad_inv = ops.piecewise_rational_quadratic_transform(
+            y, w, h, d, inverse=True, tails="linear", tail_bound=5.0
+        )
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lad_inv), -np.asarray(lad), atol=1e-4)
+
+    def test_identity_outside_tails(self):
+        shape = (3,)
+        w, h, d = self._params(shape, seed=2)
+        x = jnp.asarray(np.array([-7.0, 6.0, 9.0], dtype=np.float32))
+        y, lad = ops.piecewise_rational_quadratic_transform(
+            x, w, h, d, inverse=False, tails="linear", tail_bound=5.0
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lad), 0.0, atol=1e-6)
+
+    def test_logabsdet_matches_autodiff(self):
+        w, h, d = self._params((), seed=3)
+
+        def f(x):
+            y, _ = ops.piecewise_rational_quadratic_transform(
+                x, w, h, d, inverse=False, tails="linear", tail_bound=5.0
+            )
+            return y
+
+        for xv in [-3.0, -0.5, 0.1, 2.7, 4.9]:
+            x = jnp.float32(xv)
+            _, lad = ops.piecewise_rational_quadratic_transform(
+                x, w, h, d, inverse=False, tails="linear", tail_bound=5.0
+            )
+            grad = jax.grad(f)(x)
+            np.testing.assert_allclose(
+                np.asarray(lad), np.log(np.abs(np.asarray(grad))), atol=1e-3
+            )
+
+    def test_monotone(self):
+        w, h, d = self._params((), seed=4)
+        xs = jnp.linspace(-4.9, 4.9, 201)
+        wb = jnp.broadcast_to(w, xs.shape + w.shape)
+        hb = jnp.broadcast_to(h, xs.shape + h.shape)
+        db = jnp.broadcast_to(d, xs.shape + d.shape)
+        ys, _ = ops.piecewise_rational_quadratic_transform(
+            xs, wb, hb, db, inverse=False, tails="linear", tail_bound=5.0
+        )
+        assert (np.diff(np.asarray(ys)) > 0).all()
+
+
+class TestMAS:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_numpy_golden(self, seed):
+        rng = np.random.default_rng(seed)
+        b, t_y, t_x = 3, 37, 11
+        neg_cent = rng.normal(size=(b, t_y, t_x)).astype(np.float32)
+        t_ys = np.array([37, 25, 13], dtype=np.int32)
+        t_xs = np.array([11, 8, 5], dtype=np.int32)
+        golden = maximum_path_numpy(neg_cent, t_ys, t_xs)
+        ours = np.asarray(
+            jax.jit(ops.maximum_path_scan)(
+                jnp.asarray(neg_cent), jnp.asarray(t_ys), jnp.asarray(t_xs)
+            )
+        )
+        np.testing.assert_array_equal(ours, golden)
+
+    def test_path_is_valid_monotonic(self):
+        rng = np.random.default_rng(7)
+        neg_cent = rng.normal(size=(1, 20, 6)).astype(np.float32)
+        path = np.asarray(
+            ops.maximum_path_scan(
+                jnp.asarray(neg_cent), jnp.array([20]), jnp.array([6])
+            )
+        )[0]
+        # one token per frame, all tokens covered, monotonic non-decreasing
+        assert (path.sum(-1) == 1).all()
+        assert (path.sum(0) >= 1).all()
+        tok = path.argmax(-1)
+        assert (np.diff(tok) >= 0).all() and (np.diff(tok) <= 1).all()
+
+    def test_mask_api(self):
+        rng = np.random.default_rng(9)
+        neg_cent = rng.normal(size=(2, 15, 5)).astype(np.float32)
+        t_ys = np.array([15, 10], dtype=np.int32)
+        t_xs = np.array([5, 3], dtype=np.int32)
+        mask = (
+            ops.sequence_mask(jnp.asarray(t_ys), 15)[:, :, None]
+            * ops.sequence_mask(jnp.asarray(t_xs), 5)[:, None, :]
+        )
+        ours = np.asarray(ops.maximum_path(jnp.asarray(neg_cent), mask))
+        golden = maximum_path_numpy(neg_cent, t_ys, t_xs)
+        np.testing.assert_array_equal(ours, golden)
+        # nothing outside the mask
+        assert (ours * (1 - np.asarray(mask)) == 0).all()
