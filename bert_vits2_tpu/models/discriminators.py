@@ -28,6 +28,8 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Sequence[int] = (32, 128, 512, 1024)
+    final_channels: int = 1024
 
     @nn.compact
     def __call__(self, x):
@@ -42,7 +44,7 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         pad = (self.kernel_size - 1) // 2
-        for i, ch in enumerate([32, 128, 512, 1024]):
+        for i, ch in enumerate(self.channels):
             x = Conv2d(
                 ch,
                 (self.kernel_size, 1),
@@ -54,12 +56,12 @@ class DiscriminatorP(nn.Module):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv2d(
-            1024,
+            self.final_channels,
             (self.kernel_size, 1),
             stride=(1, 1),
             padding=(pad, 0),
             use_weight_norm=True,
-            name="convs_4",
+            name=f"convs_{len(self.channels)}",
         )(x)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
@@ -69,21 +71,23 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
+    # (channels, kernel, stride, groups, padding) per layer; ref models.py:645-660
+    specs: Sequence[Sequence[int]] = (
+        (16, 15, 1, 1, 7),
+        (64, 41, 4, 4, 20),
+        (256, 41, 4, 16, 20),
+        (1024, 41, 4, 64, 20),
+        (1024, 41, 4, 256, 20),
+        (1024, 5, 1, 1, 2),
+    )
+
     @nn.compact
     def __call__(self, x):
         """x: [b, t] -> (logits, fmaps). Ref: models.py:645-672."""
         b = x.shape[0]
         x = x[..., None]  # [b, t, 1]
         fmap = []
-        specs = [
-            (16, 15, 1, 1, 7),
-            (64, 41, 4, 4, 20),
-            (256, 41, 4, 16, 20),
-            (1024, 41, 4, 64, 20),
-            (1024, 41, 4, 256, 20),
-            (1024, 5, 1, 1, 2),
-        ]
-        for i, (ch, k, s, g, pad) in enumerate(specs):
+        for i, (ch, k, s, g, pad) in enumerate(self.specs):
             x = Conv1d(
                 ch, k, stride=s, groups=g, padding=pad, use_weight_norm=True,
                 name=f"convs_{i}",
@@ -97,12 +101,24 @@ class DiscriminatorS(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    # test-size override: None -> reference widths
+    p_channels: Sequence[int] | None = None
+    s_specs: Sequence[Sequence[int]] | None = None
 
     @nn.compact
     def __call__(self, y, y_hat):
         """y, y_hat: [b, t] -> (real logits, fake logits, real fmaps, fake fmaps)."""
-        discs = [DiscriminatorS(name="disc_s")] + [
-            DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
+        s_kw = {} if self.s_specs is None else {"specs": tuple(self.s_specs)}
+        p_kw = (
+            {}
+            if self.p_channels is None
+            else {
+                "channels": tuple(self.p_channels),
+                "final_channels": self.p_channels[-1],
+            }
+        )
+        discs = [DiscriminatorS(name="disc_s", **s_kw)] + [
+            DiscriminatorP(p, name=f"disc_p{p}", **p_kw) for p in self.periods
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:

@@ -1,0 +1,23 @@
+"""Mesh / sharding layer (pjit-era replacement for DDP+NCCL)."""
+
+from bert_vits2_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "init_distributed",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -6,7 +6,7 @@ use fake-device CPU meshes; real-TPU checks happen in bench.py / the driver).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin in this image overrides JAX_PLATFORMS at import time;
+# force CPU again post-import so tests get the virtual 8-device host mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,166 @@
+"""Text frontend tests: symbol ABI, pinyin->phones algorithm, g2p invariants."""
+
+import pytest
+
+from bert_vits2_tpu.text import (
+    LANGUAGE_TONE_START_MAP,
+    SYMBOLS,
+    cleaned_text_to_sequence,
+    clean_text,
+)
+from bert_vits2_tpu.text import english, japanese, mandarin
+
+
+class TestSymbols:
+    def test_inventory_size(self):
+        assert len(SYMBOLS) == 112
+        assert SYMBOLS[0] == "_"
+        assert SYMBOLS[-2:] == ["SP", "UNK"]
+
+    def test_sequence_conversion(self):
+        phones, tones, langs = cleaned_text_to_sequence(["_", "n", "i", "_"], [0, 3, 3, 0], "ZH")
+        assert len(phones) == len(tones) == len(langs) == 4
+        assert all(l == 0 for l in langs)
+        phones, tones, langs = cleaned_text_to_sequence(["a"], [1], "EN")
+        assert tones[0] == 1 + LANGUAGE_TONE_START_MAP["EN"]
+        assert langs[0] == 2
+
+
+class TestPinyin:
+    @pytest.mark.parametrize(
+        "pinyin,expected",
+        [
+            ("zhong", ["zh", "ong"]),
+            ("a", ["AA", "a"]),
+            ("e", ["EE", "e"]),
+            ("ou", ["OO", "ou"]),
+            ("zhi", ["zh", "ir"]),
+            ("chi", ["ch", "ir"]),
+            ("shi", ["sh", "ir"]),
+            ("ri", ["r", "ir"]),
+            ("zi", ["z", "i0"]),
+            ("ci", ["c", "i0"]),
+            ("si", ["s", "i0"]),
+            ("ju", ["j", "v"]),
+            ("quan", ["q", "van"]),
+            ("xue", ["x", "ve"]),
+            ("yun", ["y", "vn"]),
+            ("yan", ["y", "En"]),
+            ("ye", ["y", "E"]),
+            ("yu", ["y", "v"]),
+            ("wu", ["w", "u"]),
+            ("nv", ["n", "v"]),
+            ("lve", ["l", "ve"]),
+            ("er", ["EE", "er"]),
+            ("ying", ["y", "ing"]),
+        ],
+    )
+    def test_pinyin_to_phones(self, pinyin, expected):
+        assert mandarin.pinyin_to_phones(pinyin) == expected
+
+    def test_all_phones_in_symbols(self):
+        # every syllable the algorithm can produce maps into the inventory
+        import itertools
+
+        finals = ["a", "ai", "an", "ang", "ao", "e", "ei", "en", "eng", "i",
+                  "ia", "ian", "iang", "iao", "ie", "in", "ing", "iong", "iu",
+                  "o", "ong", "ou", "u", "ua", "uai", "uan", "uang", "ui",
+                  "un", "uo", "v", "ve"]
+        for ini in ["b", "zh", "x", "y", "w", ""]:
+            for fin in finals:
+                syl = ini + fin
+                try:
+                    phones = mandarin.pinyin_to_phones(
+                        mandarin.normalize_zero_initial(syl) if not ini else syl
+                    )
+                except (ValueError, KeyError):
+                    continue
+                for p in phones:
+                    assert p in SYMBOLS, (syl, p)
+
+    def test_zh_g2p_nihao(self):
+        norm, phones, tones, word2ph = clean_text("你好", "ZH")
+        assert phones == ["_", "n", "i", "h", "ao", "_"]
+        # 你好 = two third tones -> sandhi: ni2 hao3
+        assert tones == [0, 2, 2, 3, 3, 0]
+        assert word2ph == [1, 2, 2, 1]
+        assert sum(word2ph) == len(phones)
+
+    def test_zh_g2p_numbers_and_punct(self):
+        norm, phones, tones, word2ph = clean_text("我有2个苹果!", "ZH")
+        assert sum(word2ph) == len(phones)
+        assert phones[0] == "_" and phones[-1] == "_"
+        assert "!" in phones
+        for p in phones:
+            assert p in SYMBOLS
+
+    def test_bu_sandhi(self):
+        # 不 before tone4 becomes tone2: 不是 -> bu2 shi4
+        _, phones, tones, _ = clean_text("不是", "ZH")
+        assert phones == ["_", "b", "u", "sh", "ir", "_"]
+        assert tones == [0, 2, 2, 4, 4, 0]
+
+
+class TestEnglish:
+    def test_number_to_words(self):
+        assert english.number_to_words(0) == "zero"
+        assert english.number_to_words(21) == "twenty one"
+        assert english.number_to_words(105) == "one hundred five"
+        assert english.number_to_words(2024) == "two thousand twenty four"
+        assert english.ordinal_to_words(3) == "third"
+        assert english.ordinal_to_words(20) == "twentieth"
+
+    def test_normalize(self):
+        assert "five dollars" in english.text_normalize("it costs $5")
+        assert "nineteen eighty" in english.text_normalize("in 1980")
+
+    def test_g2p_with_cmudict(self):
+        if not english.get_dict():
+            pytest.skip("cmudict asset not available")
+        _, phones, tones, word2ph = clean_text("hello world", "EN")
+        assert phones[0] == "_" and phones[-1] == "_"
+        assert sum(word2ph) == len(phones)
+        assert len(phones) == len(tones)
+        for p in phones:
+            assert p in SYMBOLS
+        # 'hello' is HH AH0 L OW1 -> hh/ah/l/ow
+        assert "hh" in phones and "ow" in phones
+
+    def test_refine_ph(self):
+        assert english.refine_ph("AH0") == ("ah", 1)
+        assert english.refine_ph("EY1") == ("ey", 2)
+        assert english.refine_ph("K") == ("k", 3)
+
+
+class TestJapanese:
+    def test_kana_g2p(self):
+        _, phones, tones, word2ph = clean_text("こんにちは", "JP")
+        # fallback reads kana literally (は -> h a); with pyopenjtalk the
+        # particle reading (w a) applies
+        assert phones[:8] == ["_", "k", "o", "n", "n", "i", "ch", "i"]
+        assert phones[8:] in (["w", "a", "_"], ["h", "a", "_"])
+        assert sum(word2ph) == len(phones)
+        for p in phones:
+            assert p in SYMBOLS
+
+    def test_long_vowel_and_sokuon(self):
+        _, phones, _, _ = clean_text("ラーメン", "JP")
+        # ー repeats the previous vowel
+        assert phones == ["_", "r", "a", "a", "m", "e", "n", "_"]
+        _, phones, _, _ = clean_text("きって", "JP")
+        assert phones == ["_", "k", "i", "q", "t", "e", "_"]
+
+    def test_numbers(self):
+        assert japanese.number_to_japanese("25") == "にじゅうご"
+        assert japanese.number_to_japanese("300") == "さんびゃく"
+        assert japanese.number_to_japanese("2024") == "にせんにじゅうよん"
+
+    def test_kanji_without_openjtalk_raises(self):
+        try:
+            import pyopenjtalk  # noqa: F401
+
+            pytest.skip("pyopenjtalk installed")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError):
+            clean_text("世界", "JP")

@@ -1,0 +1,137 @@
+"""Training-step tests: single device and a virtual 8-device data-parallel mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bert_vits2_tpu.models import (
+    DurationDiscriminator,
+    ModelConfig,
+    MultiPeriodDiscriminator,
+    Synthesizer,
+)
+from bert_vits2_tpu.parallel import make_mesh, replicate, shard_batch
+from bert_vits2_tpu.train import (
+    DataConfig,
+    Models,
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+TINY = ModelConfig(
+    n_vocab=20,
+    bert_dim=16,
+    spec_channels=33,
+    segment_size=8,
+    inter_channels=8,
+    hidden_channels=8,
+    filter_channels=16,
+    n_heads=2,
+    n_layers=2,
+    kernel_size=3,
+    p_dropout=0.1,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+    upsample_rates=(4, 4),
+    upsample_initial_channel=16,
+    upsample_kernel_sizes=(8, 8),
+    n_speakers=4,
+    gin_channels=8,
+    n_layers_trans_flow=2,
+)
+TINY_DATA = DataConfig(
+    sampling_rate=1600, filter_length=64, hop_length=16, win_length=64,
+    n_mel_channels=16, mel_fmin=0.0, mel_fmax=None,
+)
+
+
+def _make_batch(b=8, t_x=9, t_y=24, seed=0):
+    rng = np.random.default_rng(seed)
+    hop = TINY.hop_length
+    return dict(
+        x=jnp.asarray(rng.integers(1, TINY.n_vocab, (b, t_x))),
+        x_lengths=jnp.asarray([t_x] * (b // 2) + [t_x - 3] * (b - b // 2)),
+        spec=jnp.asarray(rng.normal(size=(b, t_y, TINY.spec_channels)), jnp.float32),
+        spec_lengths=jnp.asarray([t_y] * (b // 2) + [t_y - 8] * (b - b // 2)),
+        wave=jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(b, t_y * hop)), jnp.float32
+        ),
+        sid=jnp.asarray(rng.integers(0, TINY.n_speakers, (b,))),
+        tone=jnp.asarray(rng.integers(0, TINY.num_tones, (b, t_x))),
+        language=jnp.asarray(rng.integers(0, TINY.num_languages, (b, t_x))),
+        bert=jnp.asarray(rng.normal(size=(b, t_x, TINY.bert_dim)), jnp.float32),
+        ja_bert=jnp.asarray(rng.normal(size=(b, t_x, TINY.bert_dim)), jnp.float32),
+        en_bert=jnp.asarray(rng.normal(size=(b, t_x, TINY.bert_dim)), jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    synth = Synthesizer(TINY)
+    mpd = MultiPeriodDiscriminator(
+        periods=(2, 3),
+        p_channels=(8, 16),
+        s_specs=((8, 15, 1, 1, 7), (16, 41, 4, 4, 20), (16, 5, 1, 1, 2)),
+    )
+    dd = DurationDiscriminator(
+        in_channels=TINY.hidden_channels, filter_channels=16, kernel_size=3,
+        p_dropout=0.1, gin_channels=TINY.gin_channels,
+    )
+    models = Models(synth, mpd, dd, None)
+    batch = _make_batch()
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+    params_g = synth.init(
+        rngs, batch["x"], batch["x_lengths"], batch["spec"], batch["spec_lengths"],
+        batch["sid"], batch["tone"], batch["language"], batch["bert"],
+        batch["ja_bert"], batch["en_bert"], deterministic=True,
+    )["params"]
+    params_d = mpd.init(jax.random.key(3), batch["wave"][:, :64], batch["wave"][:, :64])["params"]
+    dur = jnp.ones((batch["x"].shape[0], batch["x"].shape[1], 1))
+    xm = jnp.ones(batch["x"].shape, jnp.float32)
+    hx = jnp.zeros(batch["x"].shape + (TINY.hidden_channels,), jnp.float32)
+    params_dd = dd.init(
+        jax.random.key(4), hx, xm, dur, dur, g=jnp.ones((batch["x"].shape[0], TINY.gin_channels)),
+    )["params"]
+    cfg = TrainConfig(learning_rate=1e-4)
+    state = init_train_state(models, cfg, params_g, params_d, params_dd, None)
+    step_fn = make_train_step(models, cfg, TINY_DATA, TINY.segment_size, donate=False)
+    return models, state, step_fn, batch
+
+
+class TestTrainStep:
+    def test_two_steps_losses_finite_and_params_update(self, setup):
+        models, state, step_fn, batch = setup
+        s1, m1 = step_fn(state, batch, jax.random.key(10), jnp.float32(1e-4))
+        s2, m2 = step_fn(s1, batch, jax.random.key(10), jnp.float32(1e-4))
+        for k, v in m2.items():
+            assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
+        assert int(s2.step) == 2
+        # params actually moved
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params_g, s2.params_g
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+        # expected loss keys
+        for k in ["loss/g/total", "loss/d/total", "loss/g/mel", "loss/g/kl",
+                  "loss/g/dur", "loss/g/fm", "loss/dur_disc/total", "loss/g/dur_gen"]:
+            assert k in m2
+
+    def test_data_parallel_mesh_matches_single_device(self, setup):
+        models, state, step_fn, batch = setup
+        mesh = make_mesh(n_data=8, n_model=1)
+        state_r = replicate(mesh, state)
+        batch_s = shard_batch(mesh, batch)
+        s1, m1 = step_fn(state_r, batch_s, jax.random.key(10), jnp.float32(1e-4))
+        s1_single, m1_single = step_fn(state, batch, jax.random.key(10), jnp.float32(1e-4))
+        # same math regardless of sharding
+        np.testing.assert_allclose(
+            float(m1["loss/g/total"]), float(m1_single["loss/g/total"]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            float(m1["loss/d/total"]), float(m1_single["loss/d/total"]),
+            rtol=2e-4, atol=2e-4,
+        )
