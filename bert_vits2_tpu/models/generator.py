@@ -103,14 +103,27 @@ class Generator(nn.Module):
     gin_channels: int = 0
 
     @nn.compact
-    def __call__(self, x, g=None):
-        """x: [b, t, inter_channels]; g: [b, gin] -> waveform [b, t * hop]."""
+    def __call__(self, x, g=None, y_mask=None):
+        """x: [b, t, inter_channels]; g: [b, gin] -> waveform [b, t * hop].
+
+        y_mask [b, t] (optional): valid-frame mask for statically padded
+        inference. The reference decodes exact dynamic lengths (models.py:1073)
+        so every conv's implicit zero padding starts right at the sequence end;
+        with static shapes the padding region turns nonzero (biases) and its
+        dilated-conv receptive fields would bleed into the tail of the valid
+        audio. Re-masking before every conv reproduces the reference's
+        exact-length numerics (verified <=1e-5 vs torch in
+        tools/parity_reference.py).
+        """
         num_kernels = len(self.resblock_kernel_sizes)
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        mask = None if y_mask is None else y_mask[..., None]
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None and self.gin_channels > 0:
             x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g[:, None, :])
+        if mask is not None:
+            x = x * mask
 
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
@@ -124,14 +137,22 @@ class Generator(nn.Module):
                 kernel_init=normal_init(0.01),
                 name=f"ups_{i}",
             )(x)
+            stage_mask = None
+            if mask is not None:
+                mask = jax.numpy.repeat(mask, u, axis=1)
+                stage_mask = mask[..., 0]
+                x = x * mask
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 block = res_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
-                xs = block(x) if xs is None else xs + block(x)
+                xs = block(x, stage_mask) if xs is None else xs + block(x, stage_mask)
             x = xs / num_kernels
 
         x = jax.nn.leaky_relu(x)  # default slope 0.01 here, as in the reference
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
-        return jax.numpy.tanh(x)[..., 0]  # [b, t_samples]
+        wave = jax.numpy.tanh(x)[..., 0]  # [b, t_samples]
+        if mask is not None:
+            wave = wave * mask[..., 0]
+        return wave

@@ -258,5 +258,5 @@ class Synthesizer(nn.Module):
         eps = jax.random.normal(self.make_rng("noise"), m_p_y.shape, m_p_y.dtype)
         z_p = m_p_y + eps * jnp.exp(logs_p_y) * noise_scale
         z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
-        o = self.dec(z * y_mask[..., None], g=g)
+        o = self.dec(z * y_mask[..., None], g=g, y_mask=y_mask)
         return o, attn, y_mask, y_lengths

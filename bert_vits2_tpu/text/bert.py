@@ -1,0 +1,110 @@
+"""Word-level BERT feature extraction -> phone-level conditioning features.
+
+Reference behavior (text/chinese_bert.py:15-60, japanese_bert.py, english_bert_mock.py):
+per-language pretrained encoder, take hidden_states[-3] (1024-d), repeat each
+word/char vector word2ph[i] times to phone resolution, optionally mix in a
+style text's mean feature with `style_weight` (V2.3 style transfer).
+
+The extractor is pluggable so the engine runs with: cached features (.bert.npy
+from the data pipeline), a host torch/HF model (if local weights exist), or
+seeded noise (the reference itself feeds randn for inactive languages,
+infer.py:126-137).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+import numpy as np
+
+BERT_DIM = 1024
+
+# language -> (default local path, HF tokenizer kind)
+DEFAULT_BERT_PATHS = {
+    "ZH": "./bert/chinese-roberta-wwm-ext-large",
+    "JP": "./bert/deberta-v2-large-japanese-char-wwm",
+    "EN": "./bert/deberta-v3-large",
+}
+
+
+class BertExtractor(Protocol):
+    def __call__(
+        self,
+        norm_text: str,
+        word2ph: list[int],
+        language: str,
+        style_text: str | None = None,
+        style_weight: float = 0.7,
+    ) -> np.ndarray:  # [sum(word2ph), 1024]
+        ...
+
+
+def expand_word2ph(features: np.ndarray, word2ph: list[int]) -> np.ndarray:
+    """[n_words, d] -> [n_phones, d] by repeating row i word2ph[i] times."""
+    assert features.shape[0] == len(word2ph), (features.shape, len(word2ph))
+    return np.repeat(features, np.asarray(word2ph), axis=0)
+
+
+class RandomBertExtractor:
+    """Seeded N(0,1) features — matches the reference's placeholder statistics
+    for inactive languages; usable for smoke tests and BERT-free operation."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def __call__(self, norm_text, word2ph, language, style_text=None, style_weight=0.7):
+        rng = np.random.default_rng((self.seed, hash(norm_text) & 0x7FFFFFFF))
+        return rng.normal(size=(sum(word2ph), BERT_DIM)).astype(np.float32)
+
+
+class TorchBertExtractor:
+    """Host-side HF transformers extractor (needs local model weights).
+
+    Mirrors the reference exactly: tokenize with the per-language tokenizer,
+    forward with output_hidden_states, concat hidden_states[-3:-2] -> 1024-d,
+    strip nothing (CLS/SEP rows align with word2ph[0]/[-1] as in the
+    reference), repeat to phone level, optional style mixing.
+    """
+
+    def __init__(self, paths: dict | None = None, device: str = "cpu"):
+        self.paths = dict(DEFAULT_BERT_PATHS)
+        if paths:
+            self.paths.update(paths)
+        self.device = device
+        self._models: dict = {}
+
+    def _load(self, language: str):
+        if language in self._models:
+            return self._models[language]
+        import torch
+        from transformers import AutoModelForMaskedLM, AutoTokenizer
+
+        path = self.paths[language]
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"no local BERT weights for {language} at {path}; pass cached "
+                "features or use RandomBertExtractor"
+            )
+        tok = AutoTokenizer.from_pretrained(path)
+        model = AutoModelForMaskedLM.from_pretrained(path).to(self.device).eval()
+        self._models[language] = (tok, model)
+        return tok, model
+
+    def _word_features(self, text: str, language: str) -> np.ndarray:
+        import torch
+
+        tok, model = self._load(language)
+        with torch.no_grad():
+            inputs = tok(text, return_tensors="pt").to(self.device)
+            out = model(**inputs, output_hidden_states=True)
+            hidden = torch.cat(out.hidden_states[-3:-2], -1)[0].cpu().numpy()
+        return hidden
+
+    def __call__(self, norm_text, word2ph, language, style_text=None, style_weight=0.7):
+        feats = self._word_features(norm_text, language)
+        assert feats.shape[0] == len(word2ph), (feats.shape, len(word2ph))
+        if style_text:
+            style = self._word_features(style_text, language).mean(0, keepdims=True)
+            feats = feats * (1.0 - style_weight) + style * style_weight
+        return expand_word2ph(feats, word2ph).astype(np.float32)

@@ -1,0 +1,82 @@
+"""Inference-engine tests (reference semantics: infer.py:107-437)."""
+
+import numpy as np
+import pytest
+
+from bert_vits2_tpu.infer import TTSEngine, get_text
+from bert_vits2_tpu.models import ModelConfig, Synthesizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ModelConfig(
+        n_vocab=512, bert_dim=1024, spec_channels=33, segment_size=8,
+        inter_channels=8, hidden_channels=8, filter_channels=16, n_heads=2,
+        n_layers=2, resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(4, 4), upsample_initial_channel=16,
+        upsample_kernel_sizes=(8, 8), n_speakers=4, gin_channels=8,
+        n_layers_trans_flow=2,
+    )
+    model = Synthesizer(cfg)
+    b, t_x = 1, 8
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+    bert = jnp.zeros((b, t_x, cfg.bert_dim))
+    params = model.init(
+        rngs, jnp.zeros((b, t_x), jnp.int32), jnp.asarray([t_x]),
+        jnp.zeros((b, 16, cfg.spec_channels)), jnp.asarray([16]),
+        jnp.zeros((b,), jnp.int32), jnp.zeros((b, t_x), jnp.int32),
+        jnp.zeros((b, t_x), jnp.int32), bert, bert, bert, deterministic=True,
+    )
+    return TTSEngine(model, params, spk2id={"alice": 1, "bob": 2},
+                     text_buckets=(32, 64), frames_per_token=4)
+
+
+class TestGetText:
+    def test_shapes_and_intersperse(self):
+        phones, tones, langs, bert, ja, en = get_text("こんにちは。", "JP")
+        t = len(phones)
+        assert t % 2 == 1 and (phones[0::2] == 0).all()
+        assert tones.shape == langs.shape == (t,)
+        assert bert.shape == ja.shape == en.shape == (t, 1024)
+        assert (langs[1::2] == 1).all()  # JP id broadcast over real tokens
+
+    def test_inactive_language_noise_not_zero(self):
+        _, _, _, bert, ja, en = get_text("hello world.", "EN")
+        assert np.abs(bert).max() > 0 and np.abs(ja).max() > 0
+        assert not np.allclose(bert, ja)
+
+
+class TestEngine:
+    def test_infer_produces_audio(self, engine):
+        wave = engine.infer("おはようございます。", speaker="alice", language="JP",
+                            sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0)
+        assert wave.ndim == 1 and len(wave) > 0
+        assert np.isfinite(wave).all() and np.abs(wave).max() <= 1.0
+
+    def test_speaker_resolution(self, engine):
+        assert engine.resolve_speaker("bob") == 2
+        assert engine.resolve_speaker(3) == 3
+
+    def test_deterministic_given_seed(self, engine):
+        kw = dict(speaker=1, language="JP", sdp_ratio=0.0, noise_scale=0.4,
+                  noise_scale_w=0.0, seed=5)
+        a = engine.infer("こんにちは。", **kw)
+        b = engine.infer("こんにちは。", **kw)
+        np.testing.assert_array_equal(a, b)
+
+    def test_jit_cache_reuse(self, engine):
+        engine.infer("テスト。", speaker=0, language="JP")
+        n = len(engine._jitted)
+        engine.infer("もういちど。", speaker=0, language="JP")
+        assert len(engine._jitted) == n  # same bucket -> no recompile
+
+    def test_multilang_concat(self, engine):
+        wave = engine.infer_multilang(
+            [("你好。", "ZH"), ("hello.", "EN")], speaker=0,
+            sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0,
+        )
+        assert len(wave) > 0 and np.isfinite(wave).all()
