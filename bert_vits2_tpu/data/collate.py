@@ -32,6 +32,7 @@ def collate_batch(
     wave, sid, tone, language, bert, ja_bert, en_bert.
     """
     b = len(items)
+    bert_dim = items[0]["bert"].shape[1]
     if max_text is None:
         max_text = max(len(it["phones"]) for it in items)
     _, t_x = bucket_shape(max_frames, max_text, text_pad_multiple)
@@ -44,9 +45,9 @@ def collate_batch(
         "x_lengths": np.zeros((b,), np.int32),
         "tone": np.zeros((b, t_x), np.int32),
         "language": np.zeros((b, t_x), np.int32),
-        "bert": np.zeros((b, t_x, _BERT_DIM), np.float32),
-        "ja_bert": np.zeros((b, t_x, _BERT_DIM), np.float32),
-        "en_bert": np.zeros((b, t_x, _BERT_DIM), np.float32),
+        "bert": np.zeros((b, t_x, bert_dim), np.float32),
+        "ja_bert": np.zeros((b, t_x, bert_dim), np.float32),
+        "en_bert": np.zeros((b, t_x, bert_dim), np.float32),
         "spec": np.zeros((b, t_y, spec_ch), np.float32),
         "spec_lengths": np.zeros((b,), np.int32),
         "wave": np.zeros((b, n_samples), np.float32),

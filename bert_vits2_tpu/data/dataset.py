@@ -99,7 +99,9 @@ class FilelistDataset:
         max_text_len: int = 384,
         use_cache: bool = True,
         rng_seed: int = 1234,
+        bert_dim: int = _BERT_DIM,
     ):
+        self.bert_dim = bert_dim
         self.spk2id = spk2id
         self.sampling_rate = sampling_rate
         self.filter_length = filter_length
@@ -192,7 +194,8 @@ class FilelistDataset:
                     f"no cached BERT features for {u.audio_path} "
                     "(run tools/bert_gen.py first)"
                 )
-        if bert.shape[0] == _BERT_DIM:  # reference layout [1024, t]
+        if bert.shape[0] == self.bert_dim and bert.shape[0] != n_phones:
+            # reference layout [1024, t]
             bert = bert.T
         assert bert.shape[0] == n_phones, (bert.shape, n_phones)
         return bert.astype(np.float32)
@@ -221,7 +224,7 @@ class FilelistDataset:
         # reproducibility (reference uses fresh randn each epoch)
         noise_rng = np.random.default_rng((self.rng_seed, idx))
         placeholders = {
-            lang: noise_rng.normal(size=(t, _BERT_DIM)).astype(np.float32)
+            lang: noise_rng.normal(size=(t, self.bert_dim)).astype(np.float32)
             for lang in _LANG_ORDER
             if lang != u.language
         }

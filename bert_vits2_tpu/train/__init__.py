@@ -15,8 +15,18 @@ from bert_vits2_tpu.train.step import (
     make_optimizer,
     make_train_step,
 )
+from bert_vits2_tpu.train.checkpoint import (
+    bootstrap_from_reference,
+    latest_step,
+    restore_train_state,
+    save_train_state,
+)
 
 __all__ = [
+    "bootstrap_from_reference",
+    "latest_step",
+    "restore_train_state",
+    "save_train_state",
     "discriminator_loss",
     "feature_loss",
     "generator_loss",
