@@ -1,0 +1,102 @@
+"""Build a ready TTSEngine from config.json + weights (reference:
+infer.py:84-104 get_net_g).
+
+Accepts either a reference PyTorch checkpoint (G_*.pth, imported through the
+compat layer) or an orbax train-state directory written by the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from bert_vits2_tpu.compat.hparams import (
+    get_hparams_from_file,
+    model_config_from_hparams,
+)
+from bert_vits2_tpu.models import ModelConfig, Synthesizer
+
+
+def _materialize(seed: int, synth, mcfg):
+    """Init the generator parameter tree (random but valid weights; also the
+    import template when loading a .pth checkpoint)."""
+    b, t_x = 1, 8
+    t_y = max(mcfg.segment_size + 4, 16)
+    rngs = {
+        "params": jax.random.key(seed),
+        "noise": jax.random.key(seed + 1),
+        "dropout": jax.random.key(seed + 2),
+    }
+    return synth.init(
+        rngs,
+        jnp.zeros((b, t_x), jnp.int32),
+        jnp.full((b,), t_x, jnp.int32),
+        jnp.zeros((b, t_y, mcfg.spec_channels), jnp.float32),
+        jnp.full((b,), t_y, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, t_x), jnp.int32),
+        jnp.zeros((b, t_x), jnp.int32),
+        jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
+        jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
+        jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
+        deterministic=True,
+    )["params"]
+
+
+def load_generator_params(checkpoint_path: str, synth, mcfg, seed: int = 0):
+    """-> generator params from G_*.pth, an orbax dir, or random init if None."""
+    if checkpoint_path is None:
+        return _materialize(seed, synth, mcfg)
+    if os.path.isfile(checkpoint_path) and checkpoint_path.endswith(".pth"):
+        from bert_vits2_tpu.compat import import_generator_checkpoint
+
+        template = _materialize(seed, synth, mcfg)
+        params, _it, _missing = import_generator_checkpoint(
+            checkpoint_path, template, strict=False
+        )
+        return params
+    if os.path.isdir(checkpoint_path):
+        import orbax.checkpoint as ocp
+
+        options = ocp.CheckpointManagerOptions(create=False)
+        with ocp.CheckpointManager(
+            os.path.abspath(checkpoint_path), options=options
+        ) as mgr:
+            step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no orbax steps in {checkpoint_path}")
+            restored = mgr.restore(step)
+        tree = restored if isinstance(restored, dict) else restored.__dict__
+        if "params_g" not in tree:
+            raise KeyError(f"params_g not found in checkpoint {checkpoint_path}")
+        return tree["params_g"]
+    raise FileNotFoundError(checkpoint_path)
+
+
+def load_tts_engine(
+    config_path: str,
+    checkpoint_path: str | None = None,
+    bert_extractor=None,
+    seed: int = 0,
+    **engine_kw,
+):
+    """config.json (+ optional weights) -> TTSEngine."""
+    from bert_vits2_tpu.infer.api import TTSEngine
+
+    hps = get_hparams_from_file(config_path)
+    mcfg = model_config_from_hparams(hps)
+    synth = Synthesizer(mcfg)
+    params = load_generator_params(checkpoint_path, synth, mcfg, seed)
+    spk2id = hps.data.get("spk2id")
+    if spk2id is not None and hasattr(spk2id, "to_dict"):
+        spk2id = spk2id.to_dict()
+    return TTSEngine(
+        synth,
+        {"params": params},
+        spk2id=spk2id,
+        sampling_rate=hps.data.sampling_rate,
+        bert_extractor=bert_extractor,
+        **engine_kw,
+    )

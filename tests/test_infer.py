@@ -80,3 +80,38 @@ class TestEngine:
             sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0,
         )
         assert len(wave) > 0 and np.isfinite(wave).all()
+
+
+class TestLoader:
+    def test_load_tts_engine_random_init(self, tmp_path):
+        """load_tts_engine with no checkpoint builds a working engine."""
+        import json
+
+        import numpy as np
+
+        from bert_vits2_tpu.infer import load_tts_engine
+
+        cfg = dict(
+            version="2.3",
+            train=dict(segment_size=128),
+            data=dict(
+                sampling_rate=1600, filter_length=64, hop_length=16,
+                win_length=64, n_mel_channels=16, mel_fmin=0.0, mel_fmax=None,
+                add_blank=True, n_speakers=4, spk2id=dict(alice=1),
+            ),
+            model=dict(
+                inter_channels=8, hidden_channels=8, filter_channels=16,
+                n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.1,
+                resblock="1", resblock_kernel_sizes=[3],
+                resblock_dilation_sizes=[[1, 3]], upsample_rates=[4, 4],
+                upsample_initial_channel=16, upsample_kernel_sizes=[8, 8],
+                gin_channels=8, n_layers_trans_flow=2,
+            ),
+        )
+        p = tmp_path / "config.json"
+        p.write_text(json.dumps(cfg))
+        eng = load_tts_engine(str(p))
+        wave = eng.infer("你好。", speaker="alice", language="ZH",
+                         sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0)
+        assert wave.ndim == 1 and len(wave) > 0 and np.isfinite(wave).all()
+        assert eng.sampling_rate == 1600
