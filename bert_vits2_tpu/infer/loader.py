@@ -49,6 +49,22 @@ def load_generator_params(checkpoint_path: str, synth, mcfg, seed: int = 0):
     """-> generator params from G_*.pth, an orbax dir, or random init if None."""
     if checkpoint_path is None:
         return _materialize(seed, synth, mcfg)
+    if os.path.isfile(checkpoint_path) and checkpoint_path.endswith(".npz"):
+        from bert_vits2_tpu.utils.model_tools import load_release
+
+        template = _materialize(seed, synth, mcfg)
+        release = load_release(checkpoint_path)
+
+        def merge(tpl: dict, src: dict) -> dict:
+            out = {}
+            for k, v in tpl.items():
+                if k in src:
+                    out[k] = merge(v, src[k]) if isinstance(v, dict) else src[k]
+                else:
+                    out[k] = v  # e.g. enc_q stripped from releases
+            return out
+
+        return merge(template, release)
     if os.path.isfile(checkpoint_path) and checkpoint_path.endswith(".pth"):
         from bert_vits2_tpu.compat import import_generator_checkpoint
 
