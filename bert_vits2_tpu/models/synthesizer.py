@@ -25,7 +25,7 @@ from bert_vits2_tpu.models.generator import Generator
 from bert_vits2_tpu.models.posterior import PosteriorEncoder
 from bert_vits2_tpu.models.reference_encoder import ReferenceEncoder
 from bert_vits2_tpu.models.text_encoder import TextEncoder
-from bert_vits2_tpu.ops.align import maximum_path_scan
+from bert_vits2_tpu.ops.align import maximum_path_auto
 from bert_vits2_tpu.ops.masking import generate_path, rand_slice_segments, sequence_mask
 
 
@@ -164,7 +164,7 @@ class Synthesizer(nn.Module):
             neg_cent = neg_cent + eps
 
         attn = jax.lax.stop_gradient(
-            maximum_path_scan(
+            maximum_path_auto(
                 neg_cent, y_lengths.astype(jnp.int32), x_lengths.astype(jnp.int32)
             )
         )  # [b, t_y, t_x]

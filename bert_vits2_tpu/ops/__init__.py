@@ -20,7 +20,7 @@ from bert_vits2_tpu.ops.spline import (
     rational_quadratic_spline,
     unconstrained_rational_quadratic_spline,
 )
-from bert_vits2_tpu.ops.align import maximum_path, maximum_path_scan
+from bert_vits2_tpu.ops.align import maximum_path, maximum_path_auto, maximum_path_scan
 
 __all__ = [
     "generate_path",
@@ -38,5 +38,6 @@ __all__ = [
     "rational_quadratic_spline",
     "unconstrained_rational_quadratic_spline",
     "maximum_path",
+    "maximum_path_auto",
     "maximum_path_scan",
 ]

@@ -83,6 +83,24 @@ def maximum_path_scan(
     return _backtrack(values, t_ys, t_xs)
 
 
+def maximum_path_auto(
+    neg_cent: jax.Array, t_ys: jax.Array, t_xs: jax.Array
+) -> jax.Array:
+    """Best available MAS: the fused Pallas kernel on TPU (when the VMEM
+    working set fits), the lax.scan formulation elsewhere. Both are
+    bit-identical to the reference numba kernel."""
+    b, t_y, t_x = neg_cent.shape
+    if jax.default_backend() == "tpu":
+        b_pad = ((max(b, 1) + 7) // 8) * 8
+        x_pad = ((t_x + 127) // 128) * 128
+        vmem_bytes = 2 * t_y * b_pad * x_pad + 8 * 4 * b_pad * x_pad
+        if vmem_bytes <= 12 * 1024 * 1024:
+            from bert_vits2_tpu.ops.align_pallas import maximum_path_pallas
+
+            return maximum_path_pallas(neg_cent, t_ys, t_xs)
+    return maximum_path_scan(neg_cent, t_ys, t_xs)
+
+
 def maximum_path(neg_cent: jax.Array, attn_mask: jax.Array) -> jax.Array:
     """Drop-in equivalent of monotonic_align.maximum_path (reference API).
 
@@ -91,7 +109,7 @@ def maximum_path(neg_cent: jax.Array, attn_mask: jax.Array) -> jax.Array:
     """
     t_ys = jnp.sum(attn_mask[:, :, 0], axis=1).astype(jnp.int32)
     t_xs = jnp.sum(attn_mask[:, 0, :], axis=1).astype(jnp.int32)
-    return maximum_path_scan(neg_cent, t_ys, t_xs)
+    return maximum_path_auto(neg_cent, t_ys, t_xs)
 
 
 def maximum_path_numpy(neg_cent: np.ndarray, t_ys: np.ndarray, t_xs: np.ndarray):
