@@ -159,7 +159,14 @@ class Trainer:
         slm_feature_fn=None,
         n_model: int = 1,
         models: Models | None = None,
+        slm_path: str | None = None,
     ):
+        if slm_path is not None and slm_embed is None:
+            from bert_vits2_tpu.models.slm import load_wavlm, make_slm_fns
+
+            wl_params, wl_cfg = load_wavlm(slm_path)
+            slm_embed, slm_feature_fn = make_slm_fns(wl_params, wl_cfg)
+            use_wavlm_disc = True
         self.hps = get_hparams_from_file(config_path)
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
