@@ -236,6 +236,16 @@ class _Handler(BaseHTTPRequestHandler):
         p = self._params()
         svc = self.service
         try:
+            if path == "" or path == "/index.html":
+                from bert_vits2_tpu.serve.webui import PAGE
+
+                body = PAGE.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             if path == "/voice":
                 audio, sr = svc.voice(
                     text=p["text"],
