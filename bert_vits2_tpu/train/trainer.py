@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import math
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +48,8 @@ from bert_vits2_tpu.utils import (
     summarize,
 )
 from bert_vits2_tpu.utils.logging import make_writer
+from bert_vits2_tpu.utils.profiling import StepTimer, trace
+from bert_vits2_tpu.utils.repro import check_git_hash
 
 
 def train_config_from_hparams(hps: HParams) -> TrainConfig:
@@ -171,6 +172,7 @@ class Trainer:
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
         self.logger = get_logger(model_dir)
+        check_git_hash(model_dir)
         self.mcfg = model_config_from_hparams(self.hps)
         self.dcfg = data_config_from_hparams(self.hps)
         self.tcfg = train_config_from_hparams(self.hps)
@@ -290,6 +292,8 @@ class Trainer:
         eval_interval: int | None = None,
         keep_ckpts: int | None = None,
         max_steps: int | None = None,
+        profile_at_step: int | None = None,
+        profile_steps: int = 5,
     ):
         t = self.hps.train
         epochs = epochs if epochs is not None else t.get("epochs", 1000)
@@ -297,26 +301,47 @@ class Trainer:
         eval_interval = eval_interval or t.get("eval_interval", 1000)
         keep_ckpts = keep_ckpts or 8
         rng = jax.random.key(self.tcfg.seed)
+        timer = StepTimer()
+        # audio seconds consumed per step (decoder sees segment slices)
+        seg_audio_s = (
+            self.hps.train.batch_size
+            * self.num_replicas
+            * self.mcfg.segment_samples
+            / self.dcfg.sampling_rate
+        )
 
         for epoch in range(self.start_epoch, epochs):
             lr = jnp.float32(self.tcfg.learning_rate * self.tcfg.lr_decay**epoch)
-            t0, n0 = time.perf_counter(), self.global_step
             for batch_np in self.epoch_batches(epoch):
+                if profile_at_step is not None and self.global_step == profile_at_step:
+                    with trace(os.path.join(self.model_dir, "logs", "profile")):
+                        for _ in range(profile_steps):
+                            batch = self._device_batch(batch_np)
+                            self.state, metrics = self.step_fn(
+                                self.state, batch, rng, lr
+                            )
+                            jax.block_until_ready(metrics)
+                            self.global_step += 1
+                    self.logger.info("wrote device trace at step %d", self.global_step)
+                    continue
                 batch = self._device_batch(batch_np)
                 self.state, metrics = self.step_fn(self.state, batch, rng, lr)
+                timer.tick()
                 self.global_step += 1
 
                 if self.global_step % log_interval == 0 and self.is_lead:
                     m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-                    rate = (self.global_step - n0) / (time.perf_counter() - t0)
+                    rate = timer.steps_per_sec()
                     self.logger.info(
-                        "epoch %d step %d | g=%.3f d=%.3f mel=%.3f | %.2f steps/s",
+                        "epoch %d step %d | g=%.3f d=%.3f mel=%.3f | "
+                        "%.2f steps/s (train rtf %.1f)",
                         epoch, self.global_step,
                         m.get("loss/g/total", 0), m.get("loss/d/total", 0),
-                        m.get("loss/g/mel", 0), rate,
+                        m.get("loss/g/mel", 0), rate, timer.rtf(seg_audio_s),
                     )
                     summarize(self.writer, self.global_step,
-                              scalars={**m, "steps_per_sec": rate})
+                              scalars={**m, "steps_per_sec": rate,
+                                       "train_rtf": timer.rtf(seg_audio_s)})
 
                 if self.global_step % eval_interval == 0:
                     if self.is_lead:
