@@ -268,13 +268,30 @@ def convert_state_dict(
 
 
 def import_generator_checkpoint(path: str, flax_params, strict: bool = True):
-    """G_*.pth -> Synthesizer params (+ iteration)."""
+    """G_*.pth -> Synthesizer params (+ iteration).
+
+    Old-version back-compat (utils.py:90-109): BERT projections absent from
+    the checkpoint (ja_bert_proj on <2.0, en_bert_proj on <2.3) are ZEROED so
+    the extra conditioning contributes nothing, instead of staying at random
+    init; other missing keys keep their init and are listed in the report.
+    """
     ckpt = load_torch_checkpoint(path)
     sd = {k: v for k, v in ckpt["model"].items() if not k.startswith("enc_q.")
           or _has_enc_q(flax_params)}
     params, report = convert_state_dict(
         sd, flax_params, rename=synthesizer_rename, strict=strict
     )
+    if not strict and report["unused_flax"]:
+        flat = _flatten(params.get("params", params) if isinstance(params, dict) else params)
+        zeroed = []
+        for key in report["unused_flax"]:
+            if "bert_proj" in key and key in flat:
+                flat[key] = np.zeros_like(np.asarray(flat[key]))
+                zeroed.append(key)
+        if zeroed:
+            report["zeroed"] = zeroed
+            tree = _unflatten(flat)
+            params = {"params": tree} if (isinstance(params, dict) and set(params) == {"params"}) else tree
     return params, ckpt["iteration"], report
 
 

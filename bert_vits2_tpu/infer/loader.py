@@ -102,6 +102,18 @@ def load_tts_engine(
     from bert_vits2_tpu.infer.api import TTSEngine
 
     hps = get_hparams_from_file(config_path)
+    version = str(hps.get("version", "2.3"))
+    if version.split(".")[:2] != ["2", "3"]:
+        # reference version router (infer.py:39-104) swaps model classes;
+        # here the V2.3 graph loads older checkpoints with missing BERT
+        # projections zeroed (compat.import_generator_checkpoint). Emotion/
+        # CLAP inputs of V2.1/V2.2 are not modeled.
+        import logging
+
+        logging.getLogger("bert_vits2_tpu").warning(
+            "config version %s != 2.3: importing with back-compat zeroing; "
+            "V2.1/V2.2 emotion conditioning is ignored", version,
+        )
     mcfg = model_config_from_hparams(hps)
     synth = Synthesizer(mcfg)
     params = load_generator_params(checkpoint_path, synth, mcfg, seed)

@@ -154,3 +154,61 @@ class TestLSTMConversion:
         with torch.no_grad():
             out_t, _ = lstm(torch.from_numpy(x))
         np.testing.assert_allclose(out_j, out_t.numpy(), rtol=1e-5, atol=1e-5)
+
+
+class TestOldVersionBackCompat:
+    def test_missing_bert_proj_zeroed(self, tmp_path):
+        """Old-version checkpoints (no en_bert_proj / ja_bert_proj) must zero
+        those projections like the reference (utils.py:90-109), not leave
+        random init."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from bert_vits2_tpu.compat import import_generator_checkpoint
+        from bert_vits2_tpu.models import ModelConfig, Synthesizer
+
+        cfg = ModelConfig(
+            n_vocab=20, bert_dim=16, spec_channels=33, segment_size=8,
+            inter_channels=8, hidden_channels=8, filter_channels=16,
+            n_heads=2, n_layers=1, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4),
+            upsample_initial_channel=16, upsample_kernel_sizes=(8, 8),
+            n_speakers=2, gin_channels=8, n_layers_trans_flow=1,
+        )
+        model = Synthesizer(cfg)
+        b, t_x = 1, 8
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        bert = jnp.zeros((b, t_x, cfg.bert_dim))
+        params = model.init(
+            rngs, jnp.zeros((b, t_x), jnp.int32), jnp.asarray([t_x]),
+            jnp.zeros((b, 16, cfg.spec_channels)), jnp.asarray([16]),
+            jnp.zeros((b,), jnp.int32), jnp.zeros((b, t_x), jnp.int32),
+            jnp.zeros((b, t_x), jnp.int32), bert, bert, bert,
+            deterministic=True,
+        )["params"]
+
+        path = tmp_path / "G_100.pth"
+        torch.save({"model": {}, "iteration": 7, "optimizer": None,
+                    "learning_rate": 1e-4}, path)
+        out, it, report = import_generator_checkpoint(
+            str(path), params, strict=False
+        )
+        assert it == 7
+        assert report.get("zeroed"), "bert projections should be zeroed"
+        flat_keys = " ".join(report["zeroed"])
+        assert "bert_proj" in flat_keys
+
+        def leaves_with(tree, name, prefix=""):
+            for k, v in tree.items():
+                p = f"{prefix}/{k}"
+                if isinstance(v, dict):
+                    yield from leaves_with(v, name, p)
+                elif name in p:
+                    yield p, v
+
+        found = list(leaves_with(out["enc_p"], "bert_proj"))
+        assert found
+        for p, v in found:
+            assert float(np.abs(np.asarray(v)).max()) == 0.0, p
