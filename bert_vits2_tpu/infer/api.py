@@ -198,6 +198,62 @@ class TTSEngine:
         return self._run(joined, speaker, sdp_ratio, noise_scale,
                          noise_scale_w, length_scale, seed)
 
+    def infer_batch(
+        self,
+        texts: Sequence[str],
+        speakers: Sequence,
+        language="ZH",
+        sdp_ratio: float = 0.2,
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        length_scale: float = 1.0,
+        seed: int = 0,
+    ) -> list:
+        """Batched synthesis: all utterances padded to one shared (text
+        bucket, frame cap) and synthesized in ONE device call — the serving
+        throughput path (the reference loops infer() per segment,
+        hiyoriUI.py:320-339). Returns a list of trimmed float32 waveforms."""
+        import jax
+        import jax.numpy as jnp
+
+        langs = (
+            [language] * len(texts) if isinstance(language, str) else list(language)
+        )
+        items = [
+            get_text(t, lang, self.bert_extractor)
+            for t, lang in zip(texts, langs)
+        ]
+        lens = [len(it[0]) for it in items]
+        t_x = self._bucket(max(lens))
+        max_frames = self._frame_cap(t_x, length_scale)
+
+        def pad(a):
+            width = [(0, t_x - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width)
+
+        stacked = [
+            np.stack([pad(it[j]) for it in items]) for j in range(6)
+        ]
+        sids = [self.resolve_speaker(s) for s in speakers]
+        fn = self._synth_fn(t_x, max_frames)
+        wave, _, _, y_len = fn(
+            self.params,
+            jnp.asarray(stacked[0]),
+            jnp.asarray(lens),
+            jnp.asarray(sids),
+            *[jnp.asarray(s) for s in stacked[1:]],
+            jnp.float32(noise_scale),
+            jnp.float32(length_scale),
+            jnp.float32(noise_scale_w),
+            jnp.float32(sdp_ratio),
+            jax.random.key(seed),
+        )
+        wave, y_len = np.asarray(wave), np.asarray(y_len)
+        return [
+            wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
+            for i in range(len(texts))
+        ]
+
     def _run(self, inputs, speaker, sdp_ratio, noise_scale, noise_scale_w,
              length_scale, seed) -> np.ndarray:
         import jax

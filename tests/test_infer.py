@@ -115,3 +115,18 @@ class TestLoader:
                          sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0)
         assert wave.ndim == 1 and len(wave) > 0 and np.isfinite(wave).all()
         assert eng.sampling_rate == 1600
+
+
+class TestBatchedInfer:
+    def test_infer_batch_matches_shapes(self, engine):
+        waves = engine.infer_batch(
+            ["おはよう。", "こんにちは、みなさん、おげんきですか。"],
+            speakers=["alice", "bob"],
+            language="JP", sdp_ratio=0.0, noise_scale=0.0, noise_scale_w=0.0,
+        )
+        assert len(waves) == 2
+        for w in waves:
+            assert w.ndim == 1 and len(w) > 0
+            assert np.isfinite(w).all()
+        # longer text -> at least as much audio (deterministic durations)
+        assert len(waves[1]) >= len(waves[0])
