@@ -72,6 +72,27 @@ class TTSService:
 
         def synth_one(seg_text: str) -> np.ndarray:
             lang = language.upper()
+            if lang == "MIX":
+                # [speaker]<lang>text markup (webui.py mix mode); the
+                # `speaker` argument is ignored per-block
+                from bert_vits2_tpu.serve.markup import (
+                    parse_mix_text,
+                    validate_mix_text,
+                )
+
+                ok, msg = validate_mix_text(seg_text)
+                if not ok:
+                    raise ValueError(msg)
+                waves = []
+                for spk, segs in parse_mix_text(seg_text):
+                    segs = [
+                        (s, {"ZH": "ZH", "JA": "JP", "JP": "JP", "EN": "EN"}[l])
+                        for l, s in segs
+                    ]
+                    waves.append(engine.infer_multilang(segs, spk, **kw))
+                return (
+                    np.concatenate(waves) if waves else np.zeros(0, np.float32)
+                )
             if lang == "AUTO":
                 segs = split_by_language(
                     seg_text, getattr(engine, "languages", ["zh", "ja", "en"])

@@ -283,6 +283,33 @@ class Trainer:
                 hop_length=self.dcfg.hop_length,
             )
 
+    def _prefetch(self, gen, depth: int = 2):
+        """Load + collate + device-put ahead of the step in a host thread
+        (the DataLoader(num_workers, prefetch=4) role, train_ms.py:127-146)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        END = object()
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(("ok", self._device_batch(item)))
+            except Exception as e:  # noqa: BLE001 - reraised on main thread
+                q.put(("err", e))
+            finally:
+                q.put((None, END))
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            kind, item = q.get()
+            if item is END:
+                return
+            if kind == "err":
+                raise item
+            yield item
+
     # ---- loop ----
 
     def run(
@@ -312,11 +339,10 @@ class Trainer:
 
         for epoch in range(self.start_epoch, epochs):
             lr = jnp.float32(self.tcfg.learning_rate * self.tcfg.lr_decay**epoch)
-            for batch_np in self.epoch_batches(epoch):
+            for batch in self._prefetch(self.epoch_batches(epoch)):
                 if profile_at_step is not None and self.global_step == profile_at_step:
                     with trace(os.path.join(self.model_dir, "logs", "profile")):
                         for _ in range(profile_steps):
-                            batch = self._device_batch(batch_np)
                             self.state, metrics = self.step_fn(
                                 self.state, batch, rng, lr
                             )
@@ -324,7 +350,6 @@ class Trainer:
                             self.global_step += 1
                     self.logger.info("wrote device trace at step %d", self.global_step)
                     continue
-                batch = self._device_batch(batch_np)
                 self.state, metrics = self.step_fn(self.state, batch, rng, lr)
                 timer.tick()
                 self.global_step += 1
