@@ -48,6 +48,44 @@ def _window_embeddings(emb: jax.Array, length: int, window_size: int) -> jax.Arr
     return emb[:, start : start + 2 * length - 1]
 
 
+def _band_mask(t: int, w: int) -> jax.Array:
+    r = jnp.arange(t)
+    return (jnp.abs(r[None, :] - r[:, None]) <= w).astype(jnp.float32)
+
+
+def _band_to_abs(x: jax.Array, t: int, w: int) -> jax.Array:
+    """Banded rel logits [b, h, t, 2w+1] -> [b, h, t, t] bias with
+    B[t, s] = x[t, s - t + w] inside the band, 0 outside.
+
+    Flat-view stride trick: padding each row of x to width t+1 and viewing
+    the flat buffer offset by w realizes the diagonal placement with pure
+    data movement — the O(t^2)-wide skew (_rel_to_abs on a 2t-1 tensor,
+    ref attentions.py:360-377) is never materialized. Corner wrap-around is
+    cancelled by the band mask.
+    """
+    b, h, _, width = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t + 1 - width)))
+    flat = x.reshape(b, h, t * (t + 1))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, w)))[:, :, w:]
+    return flat[:, :, : t * t].reshape(b, h, t, t) * _band_mask(t, w)
+
+
+def _abs_to_band(p: jax.Array, w: int) -> jax.Array:
+    """Attention weights [b, h, t, t] -> band [b, h, t, 2w+1] with
+    band[t, c] = p[t, t + c - w] (0 where t + c - w is out of range).
+    Inverse flat-view of _band_to_abs; replaces _abs_to_rel's [t, 2t-1]
+    intermediate (ref attentions.py:379-392)."""
+    b, h, t, _ = p.shape
+    flat = p.reshape(b, h, t * t)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (w, t + 1 - w)))
+    band = flat[:, :, : t * (t + 1)].reshape(b, h, t, t + 1)[:, :, :, : 2 * w + 1]
+    # zero the wrapped corners (t + c - w outside [0, t))
+    tt = jnp.arange(t)[:, None]
+    cc = jnp.arange(2 * w + 1)[None, :]
+    valid = ((tt + cc - w >= 0) & (tt + cc - w < t)).astype(p.dtype)
+    return band * valid
+
+
 class MultiHeadAttention(nn.Module):
     """Self/cross attention with optional relative-position bias.
 
@@ -82,23 +120,33 @@ class MultiHeadAttention(nn.Module):
         scale = 1.0 / math.sqrt(k_channels)
         scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
 
+        banded = False
         if self.window_size is not None:
             assert t_s == t_t, "relative attention requires self-attention"
+            w = self.window_size
             n_heads_rel = 1 if self.heads_share else h
             rel_stddev = k_channels**-0.5
             emb_rel_k = self.param(
                 "emb_rel_k",
                 nn.initializers.normal(rel_stddev),
-                (n_heads_rel, 2 * self.window_size + 1, k_channels),
+                (n_heads_rel, 2 * w + 1, k_channels),
             )
             emb_rel_v = self.param(
                 "emb_rel_v",
                 nn.initializers.normal(rel_stddev),
-                (n_heads_rel, 2 * self.window_size + 1, k_channels),
+                (n_heads_rel, 2 * w + 1, k_channels),
             )
-            key_rel = _window_embeddings(emb_rel_k, t_s, self.window_size)
-            rel_logits = jnp.einsum("bhtd,gmd->bhtm", q * scale, key_rel)
-            scores = scores + _rel_to_abs(rel_logits)
+            # banded fast path: the bias lives in a +-w diagonal band, so
+            # compute logits against the raw (2w+1)-entry table and place
+            # them diagonally — never building the O(t * 2t) skew tensors
+            banded = 2 * w + 1 <= t_s + 1
+            if banded:
+                rel_band = jnp.einsum("bhtd,gcd->bhtc", q * scale, emb_rel_k)
+                scores = scores + _band_to_abs(rel_band, t_s, w)
+            else:
+                key_rel = _window_embeddings(emb_rel_k, t_s, w)
+                rel_logits = jnp.einsum("bhtd,gmd->bhtm", q * scale, key_rel)
+                scores = scores + _rel_to_abs(rel_logits)
 
         if self.proximal_bias:
             r = jnp.arange(t_s, dtype=jnp.float32)
@@ -117,9 +165,15 @@ class MultiHeadAttention(nn.Module):
         output = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
         if self.window_size is not None:
-            rel_weights = _abs_to_rel(p_attn)
-            value_rel = _window_embeddings(emb_rel_v, t_s, self.window_size)
-            output = output + jnp.einsum("bhtm,gmd->bhtd", rel_weights, value_rel)
+            if banded:
+                band = _abs_to_band(p_attn, self.window_size)
+                output = output + jnp.einsum("bhtc,gcd->bhtd", band, emb_rel_v)
+            else:
+                rel_weights = _abs_to_rel(p_attn)
+                value_rel = _window_embeddings(emb_rel_v, t_s, self.window_size)
+                output = output + jnp.einsum(
+                    "bhtm,gmd->bhtd", rel_weights, value_rel
+                )
 
         output = output.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Dense(self.out_channels, name="conv_o")(output)

@@ -147,15 +147,39 @@ class ConvTranspose1d(nn.Module):
             kernel = self.param("kernel", kinit, kshape)
 
         dtype = self.dtype or x.dtype
-        pad = k - 1 - p
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            jnp.flip(kernel, 0).astype(dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(s,),
-            dimension_numbers=_DN,
-        )
+        if k % s == 0:
+            # Sub-pixel fast path: input dilation (lhs_dilation) materializes
+            # stride-1 zeros on TPU and runs the conv at the OUTPUT rate with
+            # mostly-zero inputs. For k = m*s the transposed conv is exactly a
+            # dense m-tap conv producing s interleaved output phases:
+            #   y[n] = sum_i x[u-i] . W[r + i*s],  u=(n+p)//s, r=(n+p)%s
+            # which keeps the MXU lanes full (features = s*out).
+            m = k // s
+            t = x.shape[1]
+            w = kernel.reshape(m, s, in_ch, self.features)  # [i, r, in, out]
+            w = jnp.flip(w, 0).transpose(0, 2, 1, 3)  # [tau, in, r, out]
+            w = w.reshape(m, in_ch, s * self.features)
+            x_pad = jnp.pad(x, ((0, 0), (m - 1, m - 1), (0, 0)))
+            z = lax.conv_general_dilated(
+                x_pad.astype(dtype),
+                w.astype(dtype),
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=_DN,
+            )  # [b, t+m-1, s*out]
+            z = z.reshape(z.shape[0], (t + m - 1) * s, self.features)
+            out_len = (t - 1) * s - 2 * p + k
+            y = lax.dynamic_slice_in_dim(z, p, out_len, axis=1)
+        else:
+            pad = k - 1 - p
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                jnp.flip(kernel, 0).astype(dtype),
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                lhs_dilation=(s,),
+                dimension_numbers=_DN,
+            )
         if self.use_bias:
             b = self.param("bias", torch_conv_init(in_ch * k), (self.features,))
             y = y + b.astype(dtype)

@@ -37,10 +37,46 @@ def _bool(v: str | None, default=False) -> bool:
 class TTSService:
     """Framework-independent request logic (so tests can skip HTTP)."""
 
-    def __init__(self, registry: ModelRegistry, models_dir: str = "Data"):
+    def __init__(
+        self,
+        registry: ModelRegistry,
+        models_dir: str = "Data",
+        filelists: list | None = None,
+        translate_keys: tuple = ("", ""),
+    ):
         self.registry = registry
         self.models_dir = models_dir
         self.lock = threading.Lock()
+        self.filelists = filelists or []
+        self.translate_keys = translate_keys
+        self._examples: list | None = None
+
+    def random_example(self, language: str | None = None):
+        """A random (text, speaker, language) row from the loaded filelists
+        (hiyoriUI.py /tools/random_example)."""
+        import random
+
+        if self._examples is None:
+            rows = []
+            for fl in self.filelists:
+                try:
+                    with open(fl, encoding="utf-8") as f:
+                        for line in f:
+                            parts = line.strip().split("|")
+                            if len(parts) >= 4:
+                                rows.append(
+                                    {"text": parts[3], "speaker": parts[1],
+                                     "language": parts[2]}
+                                )
+                except OSError:
+                    continue
+            self._examples = rows
+        pool = (
+            [r for r in self._examples if r["language"] == language]
+            if language
+            else self._examples
+        )
+        return random.choice(pool) if pool else None
 
     # ---- /voice (hiyoriUI.py:197-349 _voice) ----
 
@@ -296,6 +332,23 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(svc.models_get_unloaded())
             if path == "/status":
                 return self._json(svc.status())
+            if path == "/tools/translate":
+                from bert_vits2_tpu.serve.translate import translate
+
+                out = translate(
+                    p.get("texts", p.get("text", "")),
+                    to_language=p.get("to_language", "jp"),
+                    app_key=p.get("app_key", svc.translate_keys[0]),
+                    secret_key=p.get("secret_key", svc.translate_keys[1]),
+                )
+                return self._json({"status": 0, "Data": out})
+            if path == "/tools/random_example":
+                ex = svc.random_example(p.get("language"))
+                if ex is None:
+                    return self._json(
+                        {"status": 17, "detail": "没有加载任何数据集"}, 404
+                    )
+                return self._json({"status": 0, "Data": ex})
             if path == "/tools/get_audio":
                 fp = p.get("path", "")
                 if not os.path.isfile(fp) or not fp.endswith(".wav"):
