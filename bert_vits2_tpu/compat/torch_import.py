@@ -123,6 +123,11 @@ def synthesizer_rename(key: str) -> str:
     key = _dense_renumber(key, "flow.flows")
     key = _sdp_renumber(key, "sdp.flows", "flow_ea")
     key = _sdp_renumber(key, "sdp.post_flows", "post_flow_ea")
+    # V2.1/V2.2 emotion conditioning (oldVersion/V210/models.py:347-356,
+    # V220/models.py:380-402): vector_quantize_pytorch codebooks and the
+    # CLAP residual-MLP in-net.
+    key = key.replace("._codebook.embed", ".codebook")
+    key = key.replace("in_feature_net.3.mlp.", "in_feature_net.3.mlp_")
     return key
 
 
@@ -222,6 +227,8 @@ def convert_state_dict(
         elif leaf == "weight":
             if f"{stem}/embedding" in flat:
                 path, val = f"{stem}/embedding", w
+            elif f"{stem}/scale" in flat:  # torch nn.LayerNorm -> flax scale
+                path, val = f"{stem}/scale", w
             elif f"{stem}/kernel" in flat:
                 path = f"{stem}/kernel"
                 fshape = flat[path].shape
@@ -278,6 +285,10 @@ def import_generator_checkpoint(path: str, flax_params, strict: bool = True):
     ckpt = load_torch_checkpoint(path)
     sd = {k: v for k, v in ckpt["model"].items() if not k.startswith("enc_q.")
           or _has_enc_q(flax_params)}
+    # vector_quantize_pytorch EMA buffers are training state, not weights
+    _VQ_BUFFERS = (".initted", ".cluster_size", ".embed_avg")
+    sd = {k: v for k, v in sd.items()
+          if not ("_codebook" in k and k.endswith(_VQ_BUFFERS))}
     params, report = convert_state_dict(
         sd, flax_params, rename=synthesizer_rename, strict=strict
     )

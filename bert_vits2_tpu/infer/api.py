@@ -37,15 +37,29 @@ def get_text(
     style_text: str | None = None,
     style_weight: float = 0.7,
     noise_seed: int = 0,
+    spec=None,
 ):
-    """text -> (phones, tones, lang_ids, bert/ja_bert/en_bert [t,1024]).
+    """text -> (phones, tones, lang_ids, bert/ja_bert/en_bert [t, dim]).
 
     Ref: infer.py:107-149 (g2p, intersperse, BERT at phone level, randn
-    placeholders for the two inactive languages).
+    placeholders for the two inactive languages). `spec` (a
+    compat.versions.VersionSpec) switches to an old version family: its
+    symbol table / tone offsets, zero fills instead of randn
+    (oldVersion/V200/__init__.py:29-37), and its ja_bert width.
     """
     bert_extractor = bert_extractor or RandomBertExtractor()
     norm_text, phones_s, tones, word2ph = clean_text(text, language)
-    phones, tones, lang_ids = cleaned_text_to_sequence(phones_s, tones, language)
+    if spec is not None and spec.family != "2.3":
+        if language not in spec.languages:
+            raise ValueError(
+                f"version {spec.family} checkpoints only synthesize "
+                f"{spec.languages}, not {language}"
+            )
+        phones, tones, lang_ids = spec.cleaned_text_to_sequence(
+            phones_s, tones, language
+        )
+    else:
+        phones, tones, lang_ids = cleaned_text_to_sequence(phones_s, tones, language)
     if add_blank:
         phones = _intersperse(phones)
         tones = _intersperse(tones)
@@ -57,13 +71,25 @@ def get_text(
     bert = bert_extractor(norm_text, word2ph, language,
                           style_text=style_text, style_weight=style_weight)
     assert bert.shape == (t, BERT_DIM), (bert.shape, t)
-    rng = np.random.default_rng((noise_seed, t))
-    feats = {
-        lang: rng.normal(size=(t, BERT_DIM)).astype(np.float32)
-        for lang in _LANGS
-        if lang != language
-    }
+    dims = {"ZH": BERT_DIM, "JP": BERT_DIM, "EN": BERT_DIM}
+    if spec is not None:
+        dims["JP"] = spec.ja_bert_dim
+    if spec is None or spec.inactive_fill == "randn":
+        rng = np.random.default_rng((noise_seed, t))
+        feats = {
+            lang: rng.normal(size=(t, dims[lang])).astype(np.float32)
+            for lang in _LANGS
+            if lang != language
+        }
+    else:
+        feats = {
+            lang: np.zeros((t, dims[lang]), np.float32)
+            for lang in _LANGS
+            if lang != language
+        }
     feats[language] = bert.astype(np.float32)
+    if feats[language].shape[1] != dims[language]:
+        feats[language] = feats[language][:, : dims[language]]
     return (
         np.asarray(phones, np.int32),
         np.asarray(tones, np.int32),
@@ -90,6 +116,8 @@ class TTSEngine:
         text_buckets: Sequence[int] = (32, 64, 128, 256, 384),
         frames_per_token: int = 6,
         frame_multiple: int = 64,
+        version_spec=None,
+        emotion_extractor=None,
     ):
         self.model = model
         self.params = params
@@ -100,7 +128,38 @@ class TTSEngine:
         self.text_buckets = tuple(sorted(text_buckets))
         self.frames_per_token = frames_per_token
         self.frame_multiple = frame_multiple
+        self.version_spec = version_spec
+        self.emotion_extractor = emotion_extractor
         self._jitted: dict = {}
+
+    def _resolve_emotion(self, emotion, reference_audio, batch: int):
+        """-> emo array for the model, or None for emotion-less versions.
+
+        V2.1 (oldVersion/V210/__init__.py:54-62): reference audio ->
+        wav2vec2 1024-d vector; else integer codebook index (default 0).
+        V2.2 (oldVersion/V220/__init__.py:73-78): reference audio -> CLAP
+        audio feature; text prompt -> CLAP text feature; 512-d."""
+        mode = self.model.cfg.emotion
+        if mode == "none":
+            return None
+        use_extractor = reference_audio is not None or (
+            mode == "clap220" and isinstance(emotion, str) and emotion
+        )
+        if use_extractor:
+            if self.emotion_extractor is None:
+                from bert_vits2_tpu.text.emotion import default_emotion_extractor
+
+                self.emotion_extractor = default_emotion_extractor(mode)
+            vec = self.emotion_extractor(
+                reference_audio=reference_audio, prompt=emotion
+            )
+            return np.broadcast_to(
+                np.asarray(vec, np.float32), (batch, len(vec))
+            ).copy()
+        if mode == "vq210":
+            idx = 0 if emotion in (None, "") else int(float(emotion))
+            return np.full((batch,), idx, np.int32)
+        return np.zeros((batch, 512), np.float32)
 
     # ---- shape bucketing ----
 
@@ -124,11 +183,11 @@ class TTSEngine:
 
             @functools.partial(jax.jit, static_argnames=())
             def fn(params, x, x_lengths, sid, tone, language, bert, ja_bert,
-                   en_bert, noise_scale, length_scale, noise_scale_w,
+                   en_bert, emo, noise_scale, length_scale, noise_scale_w,
                    sdp_ratio, rng):
                 return model.apply(
                     params, x, x_lengths, sid, tone, language, bert, ja_bert,
-                    en_bert, max_frames,
+                    en_bert, max_frames, emo=emo,
                     noise_scale=noise_scale, length_scale=length_scale,
                     noise_scale_w=noise_scale_w, sdp_ratio=sdp_ratio,
                     method=type(model).infer, rngs={"noise": rng},
@@ -157,20 +216,26 @@ class TTSEngine:
         style_weight: float = 0.7,
         skip_start: bool = False,
         skip_end: bool = False,
+        emotion=None,
+        reference_audio=None,
         seed: int = 0,
     ) -> np.ndarray:
         """Synthesize one utterance -> float32 waveform [n_samples].
 
         Ref: infer.py:151-332 (incl. the 3/2-token boundary trims).
+        emotion/reference_audio condition V2.1/V2.2 checkpoints (int codebook
+        index or wav path / CLAP text prompt); ignored for other versions.
         """
         inputs = get_text(text, language, self.bert_extractor,
-                          style_text=style_text, style_weight=style_weight)
+                          style_text=style_text, style_weight=style_weight,
+                          spec=self.version_spec)
         if skip_start:
             inputs = tuple(a[3:] for a in inputs)
         if skip_end:
             inputs = tuple(a[:-2] for a in inputs)
+        emo = self._resolve_emotion(emotion, reference_audio, 1)
         return self._run(inputs, speaker, sdp_ratio, noise_scale,
-                         noise_scale_w, length_scale, seed)
+                         noise_scale_w, length_scale, seed, emo=emo)
 
     def infer_multilang(
         self,
@@ -187,7 +252,8 @@ class TTSEngine:
         parts = []
         n = len(segments)
         for i, (text, lang) in enumerate(segments):
-            inputs = get_text(text, lang, self.bert_extractor)
+            inputs = get_text(text, lang, self.bert_extractor,
+                              spec=self.version_spec)
             if i > 0:  # skip_start for all but first
                 inputs = tuple(a[3:] for a in inputs)
             if i < n - 1:  # skip_end for all but last
@@ -195,8 +261,9 @@ class TTSEngine:
             parts.append(inputs)
         joined = tuple(np.concatenate([p[j] for p in parts], axis=0)
                        for j in range(6))
+        emo = self._resolve_emotion(None, None, 1)
         return self._run(joined, speaker, sdp_ratio, noise_scale,
-                         noise_scale_w, length_scale, seed)
+                         noise_scale_w, length_scale, seed, emo=emo)
 
     def infer_batch(
         self,
@@ -220,7 +287,7 @@ class TTSEngine:
             [language] * len(texts) if isinstance(language, str) else list(language)
         )
         items = [
-            get_text(t, lang, self.bert_extractor)
+            get_text(t, lang, self.bert_extractor, spec=self.version_spec)
             for t, lang in zip(texts, langs)
         ]
         lens = [len(it[0]) for it in items]
@@ -235,6 +302,7 @@ class TTSEngine:
             np.stack([pad(it[j]) for it in items]) for j in range(6)
         ]
         sids = [self.resolve_speaker(s) for s in speakers]
+        emo = self._resolve_emotion(None, None, len(texts))
         fn = self._synth_fn(t_x, max_frames)
         wave, _, _, y_len = fn(
             self.params,
@@ -242,6 +310,7 @@ class TTSEngine:
             jnp.asarray(lens),
             jnp.asarray(sids),
             *[jnp.asarray(s) for s in stacked[1:]],
+            None if emo is None else jnp.asarray(emo),
             jnp.float32(noise_scale),
             jnp.float32(length_scale),
             jnp.float32(noise_scale_w),
@@ -255,7 +324,7 @@ class TTSEngine:
         ]
 
     def _run(self, inputs, speaker, sdp_ratio, noise_scale, noise_scale_w,
-             length_scale, seed) -> np.ndarray:
+             length_scale, seed, emo=None) -> np.ndarray:
         import jax
         import jax.numpy as jnp
 
@@ -280,6 +349,7 @@ class TTSEngine:
             jnp.asarray(pad(bert)[None]),
             jnp.asarray(pad(ja_bert)[None]),
             jnp.asarray(pad(en_bert)[None]),
+            None if emo is None else jnp.asarray(emo),
             jnp.float32(noise_scale),
             jnp.float32(length_scale),
             jnp.float32(noise_scale_w),

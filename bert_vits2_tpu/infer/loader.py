@@ -29,6 +29,12 @@ def _materialize(seed: int, synth, mcfg):
         "noise": jax.random.key(seed + 1),
         "dropout": jax.random.key(seed + 2),
     }
+    if mcfg.emotion == "vq210":
+        emo = jnp.zeros((b, 1024), jnp.float32)  # vector branch creates all params
+    elif mcfg.emotion == "clap220":
+        emo = jnp.zeros((b, 512), jnp.float32)
+    else:
+        emo = None
     return synth.init(
         rngs,
         jnp.zeros((b, t_x), jnp.int32),
@@ -39,8 +45,9 @@ def _materialize(seed: int, synth, mcfg):
         jnp.zeros((b, t_x), jnp.int32),
         jnp.zeros((b, t_x), jnp.int32),
         jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
+        jnp.zeros((b, t_x, mcfg.ja_bert_dim), jnp.float32),
         jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
-        jnp.zeros((b, t_x, mcfg.bert_dim), jnp.float32),
+        emo=emo,
         deterministic=True,
     )["params"]
 
@@ -103,18 +110,12 @@ def load_tts_engine(
 
     hps = get_hparams_from_file(config_path)
     version = str(hps.get("version", "2.3"))
-    if version.split(".")[:2] != ["2", "3"]:
-        # reference version router (infer.py:39-104) swaps model classes;
-        # here the V2.3 graph loads older checkpoints with missing BERT
-        # projections zeroed (compat.import_generator_checkpoint). Emotion/
-        # CLAP inputs of V2.1/V2.2 are not modeled.
-        import logging
+    # version router (reference infer.py:39-104 swaps whole model classes;
+    # here one graph covers every family via compat.versions config flags)
+    from bert_vits2_tpu.compat.versions import spec_for
 
-        logging.getLogger("bert_vits2_tpu").warning(
-            "config version %s != 2.3: importing with back-compat zeroing; "
-            "V2.1/V2.2 emotion conditioning is ignored", version,
-        )
-    mcfg = model_config_from_hparams(hps)
+    spec = spec_for(version)
+    mcfg = model_config_from_hparams(hps, **spec.model_overrides())
     synth = Synthesizer(mcfg)
     params = load_generator_params(checkpoint_path, synth, mcfg, seed)
     spk2id = hps.data.get("spk2id")
@@ -126,5 +127,6 @@ def load_tts_engine(
         spk2id=spk2id,
         sampling_rate=hps.data.sampling_rate,
         bert_extractor=bert_extractor,
+        version_spec=spec,
         **engine_kw,
     )

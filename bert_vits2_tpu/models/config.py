@@ -14,6 +14,16 @@ class ModelConfig:
     num_languages: int = 3
     bert_dim: int = 1024
 
+    # --- version-family variants (compat.versions; V2.3 defaults) ---
+    # V1.0.x has no ja/en BERT inputs; V1.1.x uses a 768-d ja_bert
+    # (oldVersion/V110/models.py:343); V2.1/V2.2 add VQ emotion conditioning
+    # ("vq210": 1024-d wav2vec2 vector or codebook index,
+    #  "clap220": 512-d CLAP feature -> residual-MLP -> 32-head VQ).
+    use_ja_bert: bool = True
+    use_en_bert: bool = True
+    ja_bert_dim: int = 1024
+    emotion: str = "none"  # "none" | "vq210" | "clap220"
+
     spec_channels: int = 1025
     segment_size: int = 32  # decoder training window in FRAMES (16384 samples / hop 512)
     inter_channels: int = 192

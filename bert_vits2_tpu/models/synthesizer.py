@@ -48,6 +48,10 @@ class Synthesizer(nn.Module):
             num_languages=c.num_languages,
             bert_dim=c.bert_dim,
             gin_channels=gin,
+            use_ja_bert=c.use_ja_bert,
+            use_en_bert=c.use_en_bert,
+            ja_bert_dim=c.ja_bert_dim,
+            emotion=c.emotion,
             name="enc_p",
         )
         self.dec = Generator(
@@ -125,13 +129,14 @@ class Synthesizer(nn.Module):
         bert,
         ja_bert,
         en_bert,
+        emo=None,
         mas_noise_scale=0.01,
         deterministic=False,
     ):
         """Training forward. y: linear spec [b, t_y, spec_ch]. Ref: models.py:937-1024."""
         g = self._speaker(sid, y)
         x_h, m_p, logs_p, x_mask = self.enc_p(
-            x, x_lengths, tone, language, bert, ja_bert, en_bert, g=g,
+            x, x_lengths, tone, language, bert, ja_bert, en_bert, emo=emo, g=g,
             deterministic=deterministic,
         )
         z, m_q, logs_q, y_mask = self.enc_q(
@@ -224,6 +229,7 @@ class Synthesizer(nn.Module):
         ja_bert,
         en_bert,
         max_frames: int,
+        emo=None,
         noise_scale=0.667,
         length_scale=1.0,
         noise_scale_w=0.8,
@@ -237,7 +243,7 @@ class Synthesizer(nn.Module):
         """
         g = self._speaker(sid, y)
         x_h, m_p, logs_p, x_mask = self.enc_p(
-            x, x_lengths, tone, language, bert, ja_bert, en_bert, g=g,
+            x, x_lengths, tone, language, bert, ja_bert, en_bert, emo=emo, g=g,
             deterministic=deterministic,
         )
         logw_sdp = self.sdp(

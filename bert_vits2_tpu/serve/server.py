@@ -93,6 +93,8 @@ class TTSService:
         auto_split: bool = False,
         style_text: str | None = None,
         style_weight: float = 0.7,
+        emotion=None,
+        reference_audio=None,
         silence_ms: int = 200,
     ) -> tuple[np.ndarray, int]:
         """-> (waveform float32, sampling_rate). Raises KeyError/ValueError."""
@@ -105,6 +107,11 @@ class TTSService:
             noise_scale_w=noisew,
             length_scale=length,
         )
+        # V2.1/V2.2 emotion conditioning (hiyoriUI.py /voice `emotion` +
+        # `reference_audio` params); engines on other versions ignore these
+        style_kw = {}
+        if getattr(engine.model.cfg, "emotion", "none") != "none":
+            style_kw = dict(emotion=emotion, reference_audio=reference_audio)
 
         def synth_one(seg_text: str) -> np.ndarray:
             lang = language.upper()
@@ -140,12 +147,14 @@ class TTSService:
                 if len(segs) == 1:
                     return engine.infer(
                         segs[0][0], speaker, language=segs[0][1],
-                        style_text=style_text, style_weight=style_weight, **kw,
+                        style_text=style_text, style_weight=style_weight,
+                        **style_kw, **kw,
                     )
                 return engine.infer_multilang(segs, speaker, **kw)
             return engine.infer(
                 seg_text, speaker, language=lang,
-                style_text=style_text, style_weight=style_weight, **kw,
+                style_text=style_text, style_weight=style_weight,
+                **style_kw, **kw,
             )
 
         with self.lock:
@@ -316,6 +325,8 @@ class _Handler(BaseHTTPRequestHandler):
                     auto_split=_bool(p.get("auto_split")),
                     style_text=p.get("style_text") or None,
                     style_weight=float(p.get("style_weight", 0.7)),
+                    emotion=p.get("emotion"),
+                    reference_audio=p.get("reference_audio"),
                 )
                 return self._wav(audio, sr)
             if path == "/models/info":
