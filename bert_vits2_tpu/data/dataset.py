@@ -243,3 +243,132 @@ class FilelistDataset:
             "wave": audio,
             "sid": np.int32(sid),
         }
+
+
+# ---- fast batch path (native loader + device-side BERT noise) ----
+
+def load_collated_batch(
+    ds: FilelistDataset,
+    ids: Sequence[int],
+    max_frames: int,
+    text_pad_multiple: int = 32,
+    loader=None,
+) -> dict:
+    """Collate a batch straight from caches into fixed-shape buffers.
+
+    Differences from the itemwise path (__getitem__ + collate.collate_batch):
+
+    - spec/.bert caches and wavs are read by the native thread pool
+      (native/dataloader.cc) directly into the padded batch rows when
+      available — GIL-free parallel IO instead of per-item np.load;
+    - the inactive-language BERT placeholders are NOT generated here: the
+      batch carries `bert` = the ACTIVE language's features plus `utt_lang`
+      [b], and the train step draws the N(0,1) placeholders on device
+      (train/step.py). The reference burns host CPU on torch.randn for two
+      [1024, t] tensors per item per epoch (data_utils.py:159-168) and ships
+      3x the bytes over PCIe; semantics are identical because those inputs
+      are pure noise.
+
+    Returns the train-step batch dict with keys: x, x_lengths, tone,
+    language, bert [b,t,1024] (active), utt_lang [b], spec, spec_lengths,
+    wave, sid. Items with missing/unsupported caches fall back to the
+    itemwise loaders transparently.
+    """
+    b = len(ids)
+    utts = [ds.items[i] for i in ids]
+    seqs = []
+    for u in utts:
+        phones, tones, langs = cleaned_text_to_sequence(u.phones, u.tones, u.language)
+        if ds.add_blank:
+            phones = _intersperse(phones, 0)
+            tones = _intersperse(tones, 0)
+            langs = _intersperse(langs, 0)
+        seqs.append((phones, tones, langs))
+    max_text = max(len(s[0]) for s in seqs)
+    t_x = ((max_text + text_pad_multiple - 1) // text_pad_multiple) * text_pad_multiple
+    t_y = max_frames
+    hop = ds.hop_length
+    n_samples = t_y * hop
+    spec_ch = ds.filter_length // 2 + 1
+
+    out = {
+        "x": np.zeros((b, t_x), np.int32),
+        "x_lengths": np.zeros((b,), np.int32),
+        "tone": np.zeros((b, t_x), np.int32),
+        "language": np.zeros((b, t_x), np.int32),
+        "bert": np.zeros((b, t_x, ds.bert_dim), np.float32),
+        "utt_lang": np.zeros((b,), np.int32),
+        "spec": np.zeros((b, t_y, spec_ch), np.float32),
+        "spec_lengths": np.zeros((b,), np.int32),
+        "wave": np.zeros((b, n_samples), np.float32),
+        "sid": np.zeros((b,), np.int32),
+    }
+    for i, (u, (phones, tones, langs)) in enumerate(zip(utts, seqs)):
+        t = min(len(phones), t_x)
+        out["x"][i, :t] = phones[:t]
+        out["x_lengths"][i] = t
+        out["tone"][i, :t] = tones[:t]
+        out["language"][i, :t] = langs[:t]
+        out["utt_lang"][i] = LANGUAGE_ID_MAP[u.language]
+        out["sid"][i] = (
+            ds.spk2id[u.speaker] if isinstance(ds.spk2id, dict) else int(u.speaker)
+        )
+
+    spec_paths = [ds._spec_path(u.audio_path) for u in utts]
+    bert_paths = [ds._bert_path(u.audio_path) for u in utts]
+    wav_paths = [u.audio_path for u in utts]
+
+    spec_rows = wave_lens = bert_rows = bert_cols = None
+    if loader is not None:
+        if all(os.path.isfile(p) for p in spec_paths):
+            spec_rows, _ = loader.load_npy_into(spec_paths, out["spec"])
+        wave_lens, wave_srs = loader.load_wav_into(wav_paths, out["wave"])
+        if all(os.path.isfile(p) for p in bert_paths):
+            bert_rows, bert_cols = loader.load_npy_into(bert_paths, out["bert"])
+
+    for i, u in enumerate(utts):
+        # spec (+ lazy cache compute when missing)
+        if spec_rows is not None and spec_rows[i] > 0:
+            out["spec_lengths"][i] = min(int(spec_rows[i]), t_y)
+        else:
+            # full audio from disk — _load_spec caches, and a spec computed
+            # from the batch-truncated wave row would poison the cache
+            audio, sr = load_wav(u.audio_path)
+            if sr != ds.sampling_rate:
+                raise ValueError(
+                    f"{u.audio_path}: {sr} != {ds.sampling_rate} (resample first)"
+                )
+            spec = ds._load_spec(u.audio_path, audio)
+            f = min(spec.shape[0], t_y)
+            out["spec"][i, :f] = spec[:f]
+            out["spec_lengths"][i] = f
+
+        # wave (truncated to whole spec frames, like collate.collate_batch)
+        if wave_lens is None or wave_lens[i] < 0:
+            audio, sr = load_wav(u.audio_path)
+            if sr != ds.sampling_rate:
+                raise ValueError(
+                    f"{u.audio_path}: {sr} != {ds.sampling_rate} (resample first)"
+                )
+            n = min(len(audio), n_samples)
+            out["wave"][i, :n] = audio[:n]
+        elif int(wave_srs[i]) != ds.sampling_rate:
+            raise ValueError(
+                f"{u.audio_path}: {int(wave_srs[i])} != {ds.sampling_rate} "
+                "(resample first)"
+            )
+        out["wave"][i, int(out["spec_lengths"][i]) * hop:] = 0.0
+
+        # active-language BERT features
+        t = int(out["x_lengths"][i])
+        ok = (
+            bert_rows is not None
+            and bert_rows[i] == t
+            and bert_cols[i] == ds.bert_dim
+        )
+        if not ok:
+            if bert_rows is not None and bert_rows[i] > 0:
+                out["bert"][i] = 0.0  # loaded layout didn't match; reload
+            bert = ds._load_bert(u, t)
+            out["bert"][i, :t] = bert[: min(t, t_x)]
+    return out

@@ -178,11 +178,30 @@ def make_train_step(
             rngs=rngs,
         )
 
+    def expand_bert(batch, rng):
+        """Fast-collate batches carry only the ACTIVE language's BERT
+        features (`bert` [b,t,1024]) + `utt_lang` [b]; draw the two
+        inactive-language N(0,1) placeholders HERE, on device. The reference
+        generates them on the host per item per epoch (data_utils.py:159-168)
+        and ships 3x the BERT bytes to the device; the placeholders are pure
+        noise, so device RNG is distribution-identical."""
+        if "utt_lang" not in batch:
+            return batch
+        active = batch["bert"]
+        noise = jax.random.normal(rng, (3,) + active.shape, active.dtype)
+        sel = batch["utt_lang"][:, None, None]
+        batch = dict(batch)
+        batch["bert"] = jnp.where(sel == 0, active, noise[0])
+        batch["ja_bert"] = jnp.where(sel == 1, active, noise[1])
+        batch["en_bert"] = jnp.where(sel == 2, active, noise[2])
+        return batch
+
     def step(state: TrainState, batch, rng, lr):
         metrics = {}
         rng = jax.random.fold_in(rng, state.step)
-        noise_rng, dropout_rng = jax.random.split(rng)
+        noise_rng, dropout_rng, bert_rng = jax.random.split(rng, 3)
         rngs = {"noise": noise_rng, "dropout": dropout_rng}
+        batch = expand_bert(batch, bert_rng)
 
         mas_noise_scale = jnp.maximum(
             mas_noise_initial - mas_noise_delta * state.step.astype(jnp.float32), 0.0

@@ -273,14 +273,34 @@ class Trainer:
             batch_np,
         )
 
+    @property
+    def native_loader(self):
+        """Threaded C++ batch loader (native/dataloader.cc), or None."""
+        if not hasattr(self, "_native_loader"):
+            self._native_loader = None
+            try:
+                from bert_vits2_tpu.native import BatchLoader, available
+
+                if available():
+                    self._native_loader = BatchLoader()
+                    self.logger.info("native batch loader active")
+            except Exception as e:  # noqa: BLE001
+                self.logger.info("native batch loader unavailable: %s", e)
+        return self._native_loader
+
     def epoch_batches(self, epoch: int):
         self.sampler.set_epoch(epoch)
         for bucket_idx, ids in self.sampler:
-            items = [self.train_ds[i] for i in ids]
-            yield collate_batch(
-                items,
+            # fast path: caches -> padded buffers (native thread pool when
+            # available); inactive-language BERT noise is drawn on device by
+            # the train step (batch carries `bert`+`utt_lang`)
+            from bert_vits2_tpu.data.dataset import load_collated_batch
+
+            yield load_collated_batch(
+                self.train_ds,
+                ids,
                 max_frames=self.sampler.bucket_max_frames(bucket_idx),
-                hop_length=self.dcfg.hop_length,
+                loader=self.native_loader,
             )
 
     def _prefetch(self, gen, depth: int = 2):
