@@ -88,16 +88,27 @@ def maximum_path_auto(
 ) -> jax.Array:
     """Best available MAS: the fused Pallas kernel on TPU (when the VMEM
     working set fits), the lax.scan formulation elsewhere. Both are
-    bit-identical to the reference numba kernel."""
-    b, t_y, t_x = neg_cent.shape
-    if jax.default_backend() == "tpu":
-        b_pad = ((max(b, 1) + 7) // 8) * 8
-        x_pad = ((t_x + 127) // 128) * 128
-        vmem_bytes = 2 * t_y * b_pad * x_pad + 8 * 4 * b_pad * x_pad
-        if vmem_bytes <= 12 * 1024 * 1024:
-            from bert_vits2_tpu.ops.align_pallas import maximum_path_pallas
+    bit-identical to the reference numba kernel.
 
-            return maximum_path_pallas(neg_cent, t_ys, t_xs)
+    The branch is picked with `lax.platform_dependent` at *lowering* time, not
+    from `jax.default_backend()`: the same traced program may be compiled for
+    CPU devices (virtual-mesh dry runs) while a TPU plugin is the default
+    backend, and the Pallas kernel only lowers on TPU.
+    """
+    b, t_y, t_x = neg_cent.shape
+    b_pad = ((max(b, 1) + 7) // 8) * 8
+    x_pad = ((t_x + 127) // 128) * 128
+    vmem_bytes = 2 * t_y * b_pad * x_pad + 8 * 4 * b_pad * x_pad
+    if vmem_bytes <= 12 * 1024 * 1024:
+        from bert_vits2_tpu.ops.align_pallas import maximum_path_pallas
+
+        return jax.lax.platform_dependent(
+            neg_cent,
+            t_ys,
+            t_xs,
+            tpu=maximum_path_pallas,
+            default=maximum_path_scan,
+        )
     return maximum_path_scan(neg_cent, t_ys, t_xs)
 
 
