@@ -16,6 +16,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from bert_vits2_tpu.nn.conv import Conv1d, ConvTranspose1d
 from bert_vits2_tpu.nn.conv import normal_init
@@ -23,16 +24,42 @@ from bert_vits2_tpu.nn.conv import normal_init
 LRELU_SLOPE = 0.1
 
 
+def _fold_time(x, f):
+    """[b, T, C] -> [b, T/f, f*C] (free row-major reshape)."""
+    b, t, c = x.shape
+    return x.reshape(b, t // f, f * c)
+
+
+def _fold_mask(x_mask, f, c):
+    """[b, T] 0/1 mask -> [b, T/f, f*C] broadcast over channels, folded."""
+    b, t = x_mask.shape
+    return jnp.repeat(x_mask.reshape(b, t // f, f), c, axis=-1)
+
+
 class ResBlock1(nn.Module):
-    """3 dilated + 3 plain convs with residuals (reference: modules.py:221-322)."""
+    """3 dilated + 3 plain convs with residuals (reference: modules.py:221-322).
+
+    time_fold > 1 runs the whole block in f-folded time (see
+    nn/conv.py:fold_conv_kernel): bit-identical, but keeps the MXU lanes full
+    when channels < 128 — the vocoder tail (C=16..64 at 100k+ timesteps) is
+    otherwise lane-padding-bound, ~8x off peak.
+    """
 
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    time_fold: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask=None):
-        mask = None if x_mask is None else x_mask[..., None]
+        f = self.time_fold
+        if f > 1:
+            x = _fold_time(x, f)
+        mask = None
+        if x_mask is not None:
+            mask = (
+                _fold_mask(x_mask, f, self.channels) if f > 1 else x_mask[..., None]
+            )
         for j, d in enumerate(self.dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if mask is not None:
@@ -44,6 +71,7 @@ class ResBlock1(nn.Module):
                 padding=(self.kernel_size * d - d) // 2,
                 use_weight_norm=True,
                 kernel_init=normal_init(0.01),
+                time_fold=f,
                 name=f"convs1_{j}",
             )(xt)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
@@ -55,11 +83,14 @@ class ResBlock1(nn.Module):
                 padding=(self.kernel_size - 1) // 2,
                 use_weight_norm=True,
                 kernel_init=normal_init(0.01),
+                time_fold=f,
                 name=f"convs2_{j}",
             )(xt)
             x = xt + x
         if mask is not None:
             x = x * mask
+        if f > 1:
+            x = x.reshape(x.shape[0], x.shape[1] * f, self.channels)
         return x
 
 
@@ -69,10 +100,18 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
+    time_fold: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask=None):
-        mask = None if x_mask is None else x_mask[..., None]
+        f = self.time_fold
+        if f > 1:
+            x = _fold_time(x, f)
+        mask = None
+        if x_mask is not None:
+            mask = (
+                _fold_mask(x_mask, f, self.channels) if f > 1 else x_mask[..., None]
+            )
         for j, d in enumerate(self.dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
             if mask is not None:
@@ -84,11 +123,14 @@ class ResBlock2(nn.Module):
                 padding=(self.kernel_size * d - d) // 2,
                 use_weight_norm=True,
                 kernel_init=normal_init(0.01),
+                time_fold=f,
                 name=f"convs_{j}",
             )(xt)
             x = xt + x
         if mask is not None:
             x = x * mask
+        if f > 1:
+            x = x.reshape(x.shape[0], x.shape[1] * f, self.channels)
         return x
 
 
@@ -142,16 +184,38 @@ class Generator(nn.Module):
                 mask = jax.numpy.repeat(mask, u, axis=1)
                 stage_mask = mask[..., 0]
                 x = x * mask
+            # MXU lane fold: channels < 128 at long T are lane-padding-bound;
+            # run the MRF in f-folded time with f*ch = 128 (bit-identical).
+            fold = 1
+            if 0 < ch < 128 and 128 % ch == 0:
+                fold = 128 // ch
+                while fold > 1 and x.shape[1] % fold:
+                    fold //= 2
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                block = res_cls(
+                    ch, rk, tuple(rd), time_fold=fold,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )
                 xs = block(x, stage_mask) if xs is None else xs + block(x, stage_mask)
             x = xs / num_kernels
 
         x = jax.nn.leaky_relu(x)  # default slope 0.01 here, as in the reference
-        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
+        ch = x.shape[-1]
+        post_fold = 1
+        if 0 < ch < 128 and 128 % ch == 0:
+            post_fold = 128 // ch
+            while post_fold > 1 and x.shape[1] % post_fold:
+                post_fold //= 2
+        if post_fold > 1:
+            x = _fold_time(x, post_fold)
+        x = Conv1d(
+            1, 7, padding=3, use_bias=False, time_fold=post_fold, name="conv_post"
+        )(x)
+        if post_fold > 1:
+            x = x.reshape(x.shape[0], x.shape[1] * post_fold, 1)
         wave = jax.numpy.tanh(x)[..., 0]  # [b, t_samples]
         if mask is not None:
             wave = wave * mask[..., 0]

@@ -41,10 +41,47 @@ def normal_init(std: float):
     return init
 
 
+def fold_conv_kernel(w: jax.Array, f: int, dilation: int, padding: int):
+    """Re-express a stride-1 dilated time conv as a conv over f-folded time.
+
+    Small-channel convs (the HiFi-GAN vocoder tail: C=16..64 at hundreds of
+    thousands of timesteps) waste most of the MXU: XLA pads BOTH channel
+    operands to 128 lanes, an up-to-64x compute overhead. Folding time into
+    channels ([b, T, C] -> [b, T/f, f*C], a free row-major reshape) makes every
+    output lane useful; the conv becomes an exactly-equivalent folded conv
+    whose kernel is the original taps block-scattered over (input-phase,
+    output-phase) channel blocks.
+
+    w: [k, c_in, c_out]. Returns (wf [k', f*c_in, f*c_out], (pad_lo, pad_hi))
+    such that  conv(x_folded, wf, padding=(pad_lo, pad_hi))  equals the folded
+    reshape of  conv(x, w, dilation, symmetric padding `padding`).
+    """
+    k, c_in, c_out = w.shape
+    entries = []
+    for r in range(f):  # output phase within a folded frame
+        for i in range(k):  # original tap
+            q, rho = divmod(r - padding + i * dilation, f)
+            entries.append((q, rho, r, i))
+    qmin = min(e[0] for e in entries)
+    qmax = max(e[0] for e in entries)
+    wf = jnp.zeros((qmax - qmin + 1, f * c_in, f * c_out), w.dtype)
+    for q, rho, r, i in entries:
+        wf = wf.at[
+            q - qmin, rho * c_in : (rho + 1) * c_in, r * c_out : (r + 1) * c_out
+        ].set(w[i])
+    return wf, (-qmin, qmax)
+
+
 class Conv1d(nn.Module):
     """Conv over time. Input [b, t, c_in] -> [b, t', features].
 
     padding: int p -> symmetric explicit padding (torch-style), or "VALID".
+
+    time_fold f > 1: input/output are time-folded [b, t/f, f*c]; the conv runs
+    in folded space (see fold_conv_kernel) — bit-identical results, full MXU
+    lane utilization for small c. Requires stride=1, groups=1, int padding.
+    Parameter shapes are unchanged (still [k, c_in, features]), so checkpoints
+    are layout-independent.
     """
 
     features: int
@@ -57,10 +94,17 @@ class Conv1d(nn.Module):
     use_weight_norm: bool = False
     kernel_init: nn.initializers.Initializer | None = None
     dtype: jnp.dtype | None = None
+    time_fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
+        if self.time_fold > 1:
+            assert self.stride == 1 and self.groups == 1
+            assert not isinstance(self.padding, str)
+            # folded output always has t/f frames: require a same-length conv
+            assert (self.kernel_size - 1) * self.dilation == 2 * self.padding
+            in_ch //= self.time_fold
         k = self.kernel_size
         fan_in = (in_ch // self.groups) * k
         kinit = self.kernel_init or torch_conv_init(fan_in)
@@ -82,23 +126,36 @@ class Conv1d(nn.Module):
         else:
             kernel = self.param("kernel", kinit, kshape)
 
-        if isinstance(self.padding, str):
-            padding = self.padding
-        else:
-            padding = [(self.padding, self.padding)]
-
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.stride,),
-            padding=padding,
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=_DN,
-            feature_group_count=self.groups,
-        )
+        if self.time_fold > 1:
+            wf, (lo, hi) = fold_conv_kernel(
+                kernel, self.time_fold, self.dilation, self.padding
+            )
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                wf.astype(dtype),
+                window_strides=(1,),
+                padding=[(lo, hi)],
+                dimension_numbers=_DN,
+            )
+        else:
+            if isinstance(self.padding, str):
+                padding = self.padding
+            else:
+                padding = [(self.padding, self.padding)]
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride,),
+                padding=padding,
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=_DN,
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             b = self.param("bias", torch_conv_init(fan_in), (self.features,))
+            if self.time_fold > 1:
+                b = jnp.tile(b, self.time_fold)
             y = y + b.astype(dtype)
         return y
 

@@ -110,6 +110,36 @@ class TestConv:
         assert ours.shape == golden.shape
         np.testing.assert_allclose(ours, golden, atol=1e-4)
 
+    @pytest.mark.parametrize("k,d", [(3, 1), (3, 5), (7, 3), (11, 5), (1, 1)])
+    def test_time_folded_conv_matches_unfolded(self, k, d):
+        """time_fold runs the conv in [b, t/f, f*c] space (MXU lane packing);
+        must be bit-level-close to the plain conv with identical params."""
+        rng = np.random.default_rng(3)
+        b, t, c, f = 2, 48, 4, 8
+        x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+        p = (k * d - d) // 2
+        plain = bnn.Conv1d(c, k, dilation=d, padding=p, use_weight_norm=True)
+        params = plain.init(jax.random.key(1), x)
+        y0 = _np(plain.apply(params, x))
+        folded = bnn.Conv1d(
+            c, k, dilation=d, padding=p, use_weight_norm=True, time_fold=f
+        )
+        yf = _np(folded.apply(params, x.reshape(b, t // f, f * c))).reshape(b, t, c)
+        np.testing.assert_allclose(yf, y0, atol=1e-6)
+
+    def test_time_folded_resblock_matches_unfolded(self):
+        from bert_vits2_tpu.models.generator import ResBlock1
+
+        rng = np.random.default_rng(4)
+        b, t, c, f = 2, 48, 4, 8
+        x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=(b, t)) > 0.2, jnp.float32)
+        block = ResBlock1(c, 3, (1, 3, 5))
+        params = block.init(jax.random.key(2), x, mask)
+        y0 = _np(block.apply(params, x, mask))
+        yf = _np(ResBlock1(c, 3, (1, 3, 5), time_fold=f).apply(params, x, mask))
+        np.testing.assert_allclose(yf, y0, atol=1e-6)
+
     def test_layernorm_matches_torch(self):
         import torch
         import torch.nn.functional as F
