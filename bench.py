@@ -24,10 +24,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from __graft_entry__ import _full_config, _text_batch
     from bert_vits2_tpu.models import Synthesizer
 
-    cfg = _full_config()
+    # production serving config: bf16 flow+vocoder (params fp32, durations
+    # fp32; see ModelConfig.infer_compute_dtype). Parity tests use fp32.
+    cfg = dataclasses.replace(_full_config(), infer_compute_dtype="bfloat16")
     model = Synthesizer(cfg)
 
     b, t_x, max_frames = 8, 128, 1024

@@ -52,6 +52,12 @@ class ModelConfig:
     mas_noise_scale_initial: float = 0.01
     noise_scale_delta: float = 2e-6
 
+    # Inference compute dtype for the flow + decoder ("float32" | "bfloat16").
+    # Params stay fp32; activations in the two hot stages are cast. Text
+    # encoder / duration predictors always run fp32 so predicted lengths are
+    # bit-stable across dtypes. bf16 halves HBM traffic and MXU passes on TPU.
+    infer_compute_dtype: str = "float32"
+
     # SLM discriminator (config.json model.slm)
     slm_hidden: int = 768
     slm_layers: int = 13

@@ -263,6 +263,11 @@ class Synthesizer(nn.Module):
         logs_p_y = jnp.einsum("byx,bxd->byd", attn, logs_p)
         eps = jax.random.normal(self.make_rng("noise"), m_p_y.shape, m_p_y.dtype)
         z_p = m_p_y + eps * jnp.exp(logs_p_y) * noise_scale
-        z = self.flow(z_p, y_mask, g=g, reverse=True, deterministic=deterministic)
-        o = self.dec(z * y_mask[..., None], g=g, y_mask=y_mask)
-        return o, attn, y_mask, y_lengths
+        dtype = jnp.dtype(self.cfg.infer_compute_dtype)
+        if dtype != z_p.dtype:
+            z_p, y_mask_c, g_c = z_p.astype(dtype), y_mask.astype(dtype), g.astype(dtype)
+        else:
+            y_mask_c, g_c = y_mask, g
+        z = self.flow(z_p, y_mask_c, g=g_c, reverse=True, deterministic=deterministic)
+        o = self.dec(z * y_mask_c[..., None], g=g_c, y_mask=y_mask_c)
+        return o.astype(jnp.float32), attn, y_mask, y_lengths

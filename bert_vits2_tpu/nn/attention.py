@@ -48,9 +48,9 @@ def _window_embeddings(emb: jax.Array, length: int, window_size: int) -> jax.Arr
     return emb[:, start : start + 2 * length - 1]
 
 
-def _band_mask(t: int, w: int) -> jax.Array:
+def _band_mask(t: int, w: int, dtype=jnp.float32) -> jax.Array:
     r = jnp.arange(t)
-    return (jnp.abs(r[None, :] - r[:, None]) <= w).astype(jnp.float32)
+    return (jnp.abs(r[None, :] - r[:, None]) <= w).astype(dtype)
 
 
 def _band_to_abs(x: jax.Array, t: int, w: int) -> jax.Array:
@@ -67,7 +67,7 @@ def _band_to_abs(x: jax.Array, t: int, w: int) -> jax.Array:
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t + 1 - width)))
     flat = x.reshape(b, h, t * (t + 1))
     flat = jnp.pad(flat, ((0, 0), (0, 0), (0, w)))[:, :, w:]
-    return flat[:, :, : t * t].reshape(b, h, t, t) * _band_mask(t, w)
+    return flat[:, :, : t * t].reshape(b, h, t, t) * _band_mask(t, w, x.dtype)
 
 
 def _abs_to_band(p: jax.Array, w: int) -> jax.Array:
@@ -140,6 +140,8 @@ class MultiHeadAttention(nn.Module):
             # compute logits against the raw (2w+1)-entry table and place
             # them diagonally — never building the O(t * 2t) skew tensors
             banded = 2 * w + 1 <= t_s + 1
+            emb_rel_k = emb_rel_k.astype(q.dtype)
+            emb_rel_v = emb_rel_v.astype(q.dtype)
             if banded:
                 rel_band = jnp.einsum("bhtd,gcd->bhtc", q * scale, emb_rel_k)
                 scores = scores + _band_to_abs(rel_band, t_s, w)
