@@ -69,7 +69,7 @@ def main():
     wave, y_len = synth(params, batch, rng)
     np.asarray(wave)
 
-    n_iters = 10
+    n_iters = 30
     t0 = time.perf_counter()
     for i in range(n_iters):
         wave, y_len = synth(params, batch, jax.random.fold_in(rng, i))

@@ -25,7 +25,7 @@ from bert_vits2_tpu.models.generator import Generator
 from bert_vits2_tpu.models.posterior import PosteriorEncoder
 from bert_vits2_tpu.models.reference_encoder import ReferenceEncoder
 from bert_vits2_tpu.models.text_encoder import TextEncoder
-from bert_vits2_tpu.ops.align import maximum_path_auto
+from bert_vits2_tpu.ops.align import maximum_path_auto, maximum_path_scan
 from bert_vits2_tpu.ops.masking import generate_path, rand_slice_segments, sequence_mask
 
 
@@ -168,10 +168,11 @@ class Synthesizer(nn.Module):
             )
             neg_cent = neg_cent + eps
 
+        # flax init runs eagerly; use the scan formulation there so module
+        # init never pays a per-op Mosaic kernel compile (shapes only).
+        mas = maximum_path_scan if self.is_initializing() else maximum_path_auto
         attn = jax.lax.stop_gradient(
-            maximum_path_auto(
-                neg_cent, y_lengths.astype(jnp.int32), x_lengths.astype(jnp.int32)
-            )
+            mas(neg_cent, y_lengths.astype(jnp.int32), x_lengths.astype(jnp.int32))
         )  # [b, t_y, t_x]
 
         w = jnp.sum(attn, axis=1, keepdims=False)[..., None]  # [b, t_x, 1]

@@ -103,7 +103,7 @@ class MultiHeadAttention(nn.Module):
     proximal_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, c, attn_mask=None, deterministic=True):
+    def __call__(self, x, c, attn_mask=None, deterministic=True, x_mask_vec=None):
         h = self.n_heads
         k_channels = self.channels // h
         q = Dense(self.channels, name="conv_q")(x)
@@ -118,6 +118,71 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, t_s, h, k_channels).transpose(0, 2, 1, 3)
 
         scale = 1.0 / math.sqrt(k_channels)
+
+        # Fused Pallas path: banded rel-pos self-attention with a 1-D sequence
+        # mask, no attention dropout, heads-shared table — i.e. every VITS2
+        # encoder/flow call site at inference. Selected per compile-target
+        # platform (the kernel only lowers on TPU).
+        from bert_vits2_tpu.ops.attention_pallas import (
+            banded_attention_supported,
+            banded_rel_self_attention,
+        )
+
+        if (
+            self.window_size is not None
+            and self.heads_share
+            and x_mask_vec is not None
+            and t_s == t_t
+            and 2 * self.window_size + 1 <= t_s + 1
+            and self.block_length is None
+            and not self.proximal_bias
+            and (deterministic or self.p_dropout == 0.0)
+            and banded_attention_supported(t_s)
+            # flax init runs eagerly: don't pay a per-op Mosaic compile for
+            # a kernel whose only job here would be producing shapes
+            and not self.is_initializing()
+        ):
+            w = self.window_size
+            rel_stddev = k_channels**-0.5
+            emb_rel_k = self.param(
+                "emb_rel_k",
+                nn.initializers.normal(rel_stddev),
+                (1, 2 * w + 1, k_channels),
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v",
+                nn.initializers.normal(rel_stddev),
+                (1, 2 * w + 1, k_channels),
+            )
+
+            def _fused(q, k, v, m, ek, ev):
+                return banded_rel_self_attention(q, k, v, m, ek, ev, w)
+
+            def _dense(q, k, v, m, ek, ev):
+                scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
+                rel_band = jnp.einsum("bhtd,cd->bhtc", q, ek)
+                scores = scores + _band_to_abs(rel_band, t_s, w)
+                am = m[:, None, :, None] * m[:, None, None, :]
+                scores = jnp.where(am == 0, -1e4, scores)
+                p_attn = jax.nn.softmax(scores, axis=-1)
+                out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
+                band = _abs_to_band(p_attn, w)
+                return out + jnp.einsum("bhtc,cd->bhtd", band, ev)
+
+            dt = q.dtype
+            output = jax.lax.platform_dependent(
+                (q * scale).astype(dt),
+                k,
+                v,
+                x_mask_vec.astype(dt),
+                emb_rel_k[0].astype(dt),
+                emb_rel_v[0].astype(dt),
+                tpu=_fused,
+                default=_dense,
+            )
+            output = output.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
+            return Dense(self.out_channels, name="conv_o")(output)
+
         scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
 
         banded = False
@@ -254,7 +319,7 @@ class Encoder(nn.Module):
                 p_dropout=self.p_dropout,
                 window_size=self.window_size,
                 name=f"attn_layers_{i}",
-            )(x, x, attn_mask, deterministic=deterministic)
+            )(x, x, attn_mask, deterministic=deterministic, x_mask_vec=x_mask)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
             x = LayerNorm(self.hidden_channels, name=f"norm_layers_1_{i}")(x + y)
 

@@ -140,6 +140,29 @@ class TestConv:
         yf = _np(ResBlock1(c, 3, (1, 3, 5), time_fold=f).apply(params, x, mask))
         np.testing.assert_allclose(yf, y0, atol=1e-6)
 
+    def test_banded_attention_dispatch_matches_dense(self):
+        """MultiHeadAttention with x_mask_vec routes through the fused-kernel
+        dispatch (lax.platform_dependent; dense branch on CPU). Must equal the
+        original attn_mask-only path on valid rows. The TPU kernel itself is
+        checked against the dense branch on real hardware (bench/driver)."""
+        from bert_vits2_tpu.nn.attention import MultiHeadAttention
+
+        rng = np.random.default_rng(5)
+        b, t, ch, h = 3, 64, 32, 2
+        x = jnp.asarray(rng.normal(size=(b, t, ch)), jnp.float32)
+        mask = np.ones((b, t), np.float32)
+        mask[0, 40:] = 0
+        mask[2, 10:] = 0
+        mask = jnp.asarray(mask)
+        am = mask[:, None, :, None] * mask[:, None, None, :]
+        att = MultiHeadAttention(ch, ch, h, window_size=4)
+        params = att.init(jax.random.key(0), x, x, am)
+        y_old = _np(att.apply(params, x, x, am))
+        y_new = _np(att.apply(params, x, x, am, x_mask_vec=mask))
+        np.testing.assert_allclose(
+            y_new * _np(mask)[..., None], y_old * _np(mask)[..., None], atol=2e-5
+        )
+
     def test_layernorm_matches_torch(self):
         import torch
         import torch.nn.functional as F
