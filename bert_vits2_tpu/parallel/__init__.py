@@ -10,6 +10,7 @@ from bert_vits2_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from bert_vits2_tpu.parallel.sharding import tp_shard_tree, tp_spec, tp_specs
 
 __all__ = [
     "DATA_AXIS",
@@ -20,4 +21,7 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "tp_shard_tree",
+    "tp_spec",
+    "tp_specs",
 ]

@@ -1,0 +1,111 @@
+"""Per-stage timing of the inference pipeline on the real chip.
+
+Times each jitted stage (emb/enc_p/sdp/dp/flow/dec + the alignment glue) at
+bench.py shapes so kernel work targets the actual bottleneck. Not part of the
+test suite — a perf tool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+
+def _run(fn, args, iters):
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    # force completion of the whole dispatch queue (block_until_ready is
+    # unreliable over the axon relay; a host transfer is not)
+    np.asarray(jax.tree.leaves(out)[0])
+    return time.perf_counter() - t0
+
+
+def timeit(fn, *args, n1=5, n2=25):
+    """Difference method: (t(n2)-t(n1))/(n2-n1) cancels the constant
+    dispatch/transfer overhead of the relay, leaving device time per call."""
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile + warm
+    t1 = _run(fn, args, n1)
+    t2 = _run(fn, args, n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+if __name__ == "__main__":
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _full_config, _text_batch
+    from bert_vits2_tpu.models import Synthesizer
+    from bert_vits2_tpu.compat.stages import make_stages
+
+    cfg = dataclasses.replace(_full_config(), infer_compute_dtype="bfloat16")
+    model = Synthesizer(cfg)
+
+    b, t_x, max_frames = 8, 128, 1024
+    batch = _text_batch(cfg, b, t_x)
+    spec = jnp.zeros((b, 32, cfg.spec_channels), jnp.float32)
+    init_rngs = {
+        "params": jax.random.key(0),
+        "noise": jax.random.key(1),
+        "dropout": jax.random.key(2),
+    }
+    params = model.init(
+        init_rngs,
+        batch["x"], batch["x_lengths"], spec, jnp.asarray([32] * b),
+        batch["sid"], batch["tone"], batch["language"],
+        batch["bert"], batch["ja_bert"], batch["en_bert"],
+        deterministic=True,
+    )
+
+    stages = make_stages(model, params["params"])
+    rng = jax.random.key(3)
+
+    g = stages["emb"](batch["sid"])
+    x_h, m_p, logs_p, x_mask = stages["enc_p"](
+        batch["x"], batch["x_lengths"], batch["tone"], batch["language"],
+        batch["bert"], batch["ja_bert"], batch["en_bert"], g,
+    )
+    logw_sdp = stages["sdp"](x_h, x_mask, g, jnp.float32(0.8), rng)
+    logw_dp = stages["dp"](x_h, x_mask, g)
+    logw = logw_dp
+    w_ceil = jnp.ceil(jnp.exp(logw[..., 0]) * x_mask)
+    y_lengths = jnp.minimum(jnp.clip(jnp.sum(w_ceil, -1), min=1.0), max_frames)
+
+    from bert_vits2_tpu.ops.masking import sequence_mask, generate_path
+
+    y_mask = sequence_mask(y_lengths.astype(jnp.int32), max_frames).astype(
+        x_mask.dtype
+    )
+
+    @jax.jit
+    def align(w_ceil, x_mask, y_mask, m_p, logs_p, rng):
+        attn = generate_path(w_ceil, x_mask, y_mask)
+        m_p_y = jnp.einsum("byx,bxd->byd", attn, m_p)
+        logs_p_y = jnp.einsum("byx,bxd->byd", attn, logs_p)
+        eps = jax.random.normal(rng, m_p_y.shape)
+        return m_p_y + eps * jnp.exp(logs_p_y) * 0.667
+
+    z_p = align(w_ceil, x_mask, y_mask, m_p, logs_p, rng)
+    z = stages["flow"](z_p, y_mask, g)
+    zin = z * y_mask[..., None]
+
+    times = {}
+    times["emb"] = timeit(stages["emb"], batch["sid"])
+    times["enc_p"] = timeit(
+        stages["enc_p"], batch["x"], batch["x_lengths"], batch["tone"],
+        batch["language"], batch["bert"], batch["ja_bert"], batch["en_bert"], g,
+    )
+    times["sdp"] = timeit(stages["sdp"], x_h, x_mask, g, jnp.float32(0.8), rng)
+    times["dp"] = timeit(stages["dp"], x_h, x_mask, g)
+    times["align"] = timeit(align, w_ceil, x_mask, y_mask, m_p, logs_p, rng)
+    times["flow"] = timeit(stages["flow"], z_p, y_mask, g)
+    times["dec"] = timeit(stages["dec"], zin, g, y_mask)
+
+    total = sum(times.values())
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+        print(f"{k:8s} {v*1e3:8.3f} ms  {100*v/total:5.1f}%")
+    print(f"{'total':8s} {total*1e3:8.3f} ms (stage sum; fused e2e is lower)")
