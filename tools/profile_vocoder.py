@@ -89,11 +89,13 @@ if __name__ == "__main__":
         x = jax.random.normal(rng, (b, t, in_ch), dtype)
         stage = Stage(ch=ch, k=k, u=u, fold=fold)
         params = stage.init(jax.random.key(i), x)
-        f = jax.jit(lambda p, x, s=stage: s.apply(p, x))
+        # return a scalar: completion forces the compute but the host
+        # transfer is 4 bytes (large-output transfers swamp the timing)
+        f = jax.jit(lambda p, x, s=stage: jnp.sum(s.apply(p, x).astype(jnp.float32)))
         times[f"stage{i} ch{ch} T{t * u} f{fold}"] = timeit(f, params, x)
         up_only = UpOnly(ch=ch, k=k, u=u)
         pu = up_only.init(jax.random.key(i), x)
-        fu = jax.jit(lambda p, x, s=up_only: s.apply(p, x))
+        fu = jax.jit(lambda p, x, s=up_only: jnp.sum(s.apply(p, x).astype(jnp.float32)))
         times[f"  up{i} k{k} s{u} {in_ch}->{ch}"] = timeit(fu, pu, x)
         # true (unfolded) MACs: up + 18 MRF convs
         mrf = sum(6 * rk for rk in (3, 7, 11)) * ch * ch * (t * u)
