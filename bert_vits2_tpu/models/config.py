@@ -58,6 +58,14 @@ class ModelConfig:
     # bit-stable across dtypes. bf16 halves HBM traffic and MXU passes on TPU.
     infer_compute_dtype: str = "float32"
 
+    # Training compute dtype for the hot forward stages (posterior WN stack,
+    # latent flow, vocoder slice decode). Mirrors the reference's
+    # autocast(bf16) policy (train_ms.py:458-480 under `bf16_run`) the TPU
+    # way: fp32 master params, bf16 activations/matmuls (no loss scaling
+    # needed — bf16 keeps fp32's exponent range). MAS statistics, duration
+    # predictors, text encoder, and every loss stay fp32.
+    train_compute_dtype: str = "float32"
+
     # SLM discriminator (config.json model.slm)
     slm_hidden: int = 768
     slm_layers: int = 13

@@ -133,16 +133,26 @@ class Synthesizer(nn.Module):
         mas_noise_scale=0.01,
         deterministic=False,
     ):
-        """Training forward. y: linear spec [b, t_y, spec_ch]. Ref: models.py:937-1024."""
+        """Training forward. y: linear spec [b, t_y, spec_ch]. Ref: models.py:937-1024.
+
+        With cfg.train_compute_dtype == "bfloat16" the posterior WN stack,
+        latent flow, and vocoder run in bf16 (params fp32, cast per-module);
+        MAS inputs, duration predictors, and all returned statistics are
+        fp32 so the alignment and losses match the fp32 path's numerics.
+        """
+        cdtype = jnp.dtype(self.cfg.train_compute_dtype)
         g = self._speaker(sid, y)
         x_h, m_p, logs_p, x_mask = self.enc_p(
             x, x_lengths, tone, language, bert, ja_bert, en_bert, emo=emo, g=g,
             deterministic=deterministic,
         )
+        g_c = g.astype(cdtype)
         z, m_q, logs_q, y_mask = self.enc_q(
-            y, y_lengths, g=g, deterministic=deterministic
+            y.astype(cdtype), y_lengths, g=g_c, deterministic=deterministic
         )
-        z_p = self.flow(z, y_mask, g=g, deterministic=deterministic)
+        z_p = self.flow(z, y_mask, g=g_c, deterministic=deterministic)
+        z_p = z_p.astype(jnp.float32)
+        y_mask = y_mask.astype(jnp.float32)
 
         # --- monotonic alignment search (no gradients; models.py:960-989) ---
         def neg_cent_fn(z_p, m_p, logs_p):
@@ -210,8 +220,8 @@ class Synthesizer(nn.Module):
             "z_p": z_p,
             "m_p": m_p_y,
             "logs_p": logs_p_y,
-            "m_q": m_q,
-            "logs_q": logs_q,
+            "m_q": m_q.astype(jnp.float32),
+            "logs_q": logs_q.astype(jnp.float32),
             "x_hidden": x_h,
             "logw": logw,
             "logw_": logw_,

@@ -159,6 +159,13 @@ def make_train_step(
     tx_d = make_optimizer(train_cfg, train_cfg.grad_clip_d)
     hop = data_cfg.hop_length
     seg_frames = segment_size_frames
+    # bf16_run mirrors the reference's autocast(bf16) over the discriminator
+    # forward too (train_ms.py:458-568): waveform discriminators compute in
+    # bf16 (params fp32, cast per-module), losses reduce in fp32.
+    disc_dtype = jnp.bfloat16 if train_cfg.bf16_run else jnp.float32
+
+    def _dc(a):
+        return a.astype(disc_dtype)
 
     def gen_forward(params_g, batch, rngs, mas_noise_scale):
         return synth.apply(
@@ -227,7 +234,7 @@ def make_train_step(
 
         # ---- 2a. waveform discriminator update (train_ms.py:508-556) ----
         def d_loss_fn(params_d):
-            y_d_r, y_d_g, _, _ = mpd.apply({"params": params_d}, y_slice, sg(y_hat))
+            y_d_r, y_d_g, _, _ = mpd.apply({"params": params_d}, _dc(y_slice), _dc(sg(y_hat)))
             loss_disc, r_losses, g_losses = discriminator_loss(y_d_r, y_d_g)
             return loss_disc
 
@@ -301,7 +308,9 @@ def make_train_step(
                 batch["wave"][..., None], o["ids_slice"] * hop, seg_frames * hop
             )[..., 0]
 
-            y_d_r, y_d_g, fmap_r, fmap_g = mpd.apply({"params": params_d}, ys, yh)
+            y_d_r, y_d_g, fmap_r, fmap_g = mpd.apply(
+                {"params": params_d}, _dc(ys), _dc(yh)
+            )
             loss_gen, _ = generator_loss(y_d_g)
             loss_fm = feature_loss(fmap_r, fmap_g)
             loss_mel = jnp.mean(jnp.abs(ym - yh_mel)) * train_cfg.c_mel

@@ -173,7 +173,15 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
         self.logger = get_logger(model_dir)
         check_git_hash(model_dir)
-        self.mcfg = model_config_from_hparams(self.hps)
+        # bf16_run (config.json train.bf16_run) = the reference's
+        # autocast(bf16); here it selects the bf16 training compute path for
+        # the hot model stages (ModelConfig.train_compute_dtype).
+        mcfg_kw = (
+            {"train_compute_dtype": "bfloat16"}
+            if self.hps.train.get("bf16_run", False)
+            else {}
+        )
+        self.mcfg = model_config_from_hparams(self.hps, **mcfg_kw)
         self.dcfg = data_config_from_hparams(self.hps)
         self.tcfg = train_config_from_hparams(self.hps)
         self.models = models or build_models(self.mcfg, use_dur_disc, use_wavlm_disc)
