@@ -8,9 +8,13 @@ test suite — a perf tool.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _run(fn, args, iters):

@@ -7,9 +7,13 @@ tools/profile_stages.py). Perf tool, not a test.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _run(fn, args, iters):
