@@ -13,7 +13,7 @@ output length becomes a device-computed y_length used to trim host-side.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import numpy as np
 
@@ -98,6 +98,26 @@ def get_text(
         feats["JP"],
         feats["EN"],
     )
+
+
+class PreparedRequest(NamedTuple):
+    """One host-preprocessed utterance, ready to join a batched device call.
+
+    `inputs` is get_text's 6-tuple (phones/tones/lang_ids [t], 3x bert
+    [t, dim]) after any boundary trims; `emo` is a single emotion row
+    ([1] int codebook index or [1, d] vector) or None. The four knobs ride
+    along per request — Synthesizer.infer broadcasts [b]-shaped knobs, so
+    heterogeneous requests still share one XLA call.
+    """
+
+    inputs: tuple
+    sid: int
+    emo: np.ndarray | None = None
+    sdp_ratio: float = 0.2
+    noise_scale: float = 0.667
+    noise_scale_w: float = 0.8
+    length_scale: float = 1.0
+    seed: int = 0
 
 
 class TTSEngine:
@@ -226,16 +246,123 @@ class TTSEngine:
         emotion/reference_audio condition V2.1/V2.2 checkpoints (int codebook
         index or wav path / CLAP text prompt); ignored for other versions.
         """
-        inputs = get_text(text, language, self.bert_extractor,
-                          style_text=style_text, style_weight=style_weight,
-                          spec=self.version_spec)
-        if skip_start:
-            inputs = tuple(a[3:] for a in inputs)
-        if skip_end:
-            inputs = tuple(a[:-2] for a in inputs)
+        req = self.prepare(
+            text, speaker, language=language, sdp_ratio=sdp_ratio,
+            noise_scale=noise_scale, noise_scale_w=noise_scale_w,
+            length_scale=length_scale, style_text=style_text,
+            style_weight=style_weight, skip_start=skip_start,
+            skip_end=skip_end, emotion=emotion,
+            reference_audio=reference_audio, seed=seed,
+        )
+        return self.run_prepared([req])[0]
+
+    def prepare(
+        self,
+        text: str | None,
+        speaker,
+        language: str = "ZH",
+        segments: Sequence[tuple[str, str]] | None = None,
+        sdp_ratio: float = 0.2,
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        length_scale: float = 1.0,
+        style_text: str | None = None,
+        style_weight: float = 0.7,
+        skip_start: bool = False,
+        skip_end: bool = False,
+        emotion=None,
+        reference_audio=None,
+        seed: int = 0,
+    ) -> PreparedRequest:
+        """Host-side half of a synthesis call (g2p + BERT + trims + emotion).
+
+        Pass `segments=[(text, lang), ...]` instead of `text` for a
+        mixed-language utterance (its per-segment features are concatenated
+        into one request, ref infer.py:335-437). The result can be run alone
+        or batched with other requests via `run_prepared` — this split is
+        what the serving micro-batcher builds on.
+        """
+        if segments is None:
+            inputs = get_text(text, language, self.bert_extractor,
+                              style_text=style_text, style_weight=style_weight,
+                              spec=self.version_spec)
+            if skip_start:
+                inputs = tuple(a[3:] for a in inputs)
+            if skip_end:
+                inputs = tuple(a[:-2] for a in inputs)
+        else:
+            parts = []
+            n = len(segments)
+            for i, (seg_text, lang) in enumerate(segments):
+                seg_inputs = get_text(seg_text, lang, self.bert_extractor,
+                                      style_text=style_text,
+                                      style_weight=style_weight,
+                                      spec=self.version_spec)
+                if i > 0 or skip_start:  # trim all but the first boundary
+                    seg_inputs = tuple(a[3:] for a in seg_inputs)
+                if i < n - 1 or skip_end:
+                    seg_inputs = tuple(a[:-2] for a in seg_inputs)
+                parts.append(seg_inputs)
+            inputs = tuple(np.concatenate([p[j] for p in parts], axis=0)
+                           for j in range(6))
         emo = self._resolve_emotion(emotion, reference_audio, 1)
-        return self._run(inputs, speaker, sdp_ratio, noise_scale,
-                         noise_scale_w, length_scale, seed, emo=emo)
+        return PreparedRequest(
+            inputs=inputs, sid=self.resolve_speaker(speaker), emo=emo,
+            sdp_ratio=float(sdp_ratio), noise_scale=float(noise_scale),
+            noise_scale_w=float(noise_scale_w),
+            length_scale=float(length_scale), seed=int(seed),
+        )
+
+    def run_prepared(self, reqs: Sequence[PreparedRequest]) -> list[np.ndarray]:
+        """Synthesize prepared requests in ONE batched device call.
+
+        All requests are padded to a shared (text bucket, frame cap); knobs
+        become per-item [b] arrays. Returns trimmed float32 waveforms in
+        request order. (The reference loops infer() per segment,
+        hiyoriUI.py:320-339 — here a paragraph's sentences and concurrent
+        HTTP requests ride one XLA call.)
+        """
+        import jax
+        import jax.numpy as jnp
+
+        lens = [len(r.inputs[0]) for r in reqs]
+        t_x = self._bucket(max(lens))
+        max_frames = self._frame_cap(
+            t_x, max(r.length_scale for r in reqs)
+        )
+
+        def pad(a):
+            width = [(0, t_x - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width)
+
+        stacked = [
+            np.stack([pad(r.inputs[j]) for r in reqs]) for j in range(6)
+        ]
+        if reqs[0].emo is None:
+            emo = None
+        else:
+            emo = jnp.asarray(np.concatenate([r.emo for r in reqs], axis=0))
+        knobs = [
+            np.asarray([getattr(r, k) for r in reqs], np.float32)
+            for k in ("noise_scale", "length_scale", "noise_scale_w",
+                      "sdp_ratio")
+        ]
+        fn = self._synth_fn(t_x, max_frames)
+        wave, _, _, y_len = fn(
+            self.params,
+            jnp.asarray(stacked[0]),
+            jnp.asarray(lens),
+            jnp.asarray([r.sid for r in reqs]),
+            *[jnp.asarray(s) for s in stacked[1:]],
+            emo,
+            *[jnp.asarray(k) for k in knobs],
+            jax.random.key(reqs[0].seed),
+        )
+        wave, y_len = np.asarray(wave), np.asarray(y_len)
+        return [
+            wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
+            for i in range(len(reqs))
+        ]
 
     def infer_multilang(
         self,
@@ -249,21 +376,12 @@ class TTSEngine:
     ) -> np.ndarray:
         """Mixed-language synthesis: concat per-segment features (with
         boundary trims) into ONE model call. Ref: infer.py:335-437."""
-        parts = []
-        n = len(segments)
-        for i, (text, lang) in enumerate(segments):
-            inputs = get_text(text, lang, self.bert_extractor,
-                              spec=self.version_spec)
-            if i > 0:  # skip_start for all but first
-                inputs = tuple(a[3:] for a in inputs)
-            if i < n - 1:  # skip_end for all but last
-                inputs = tuple(a[:-2] for a in inputs)
-            parts.append(inputs)
-        joined = tuple(np.concatenate([p[j] for p in parts], axis=0)
-                       for j in range(6))
-        emo = self._resolve_emotion(None, None, 1)
-        return self._run(joined, speaker, sdp_ratio, noise_scale,
-                         noise_scale_w, length_scale, seed, emo=emo)
+        req = self.prepare(
+            None, speaker, segments=segments, sdp_ratio=sdp_ratio,
+            noise_scale=noise_scale, noise_scale_w=noise_scale_w,
+            length_scale=length_scale, seed=seed,
+        )
+        return self.run_prepared([req])[0]
 
     def infer_batch(
         self,
@@ -279,82 +397,30 @@ class TTSEngine:
         """Batched synthesis: all utterances padded to one shared (text
         bucket, frame cap) and synthesized in ONE device call — the serving
         throughput path (the reference loops infer() per segment,
-        hiyoriUI.py:320-339). Returns a list of trimmed float32 waveforms."""
-        import jax
-        import jax.numpy as jnp
+        hiyoriUI.py:320-339). Returns a list of trimmed float32 waveforms.
 
-        langs = (
-            [language] * len(texts) if isinstance(language, str) else list(language)
-        )
-        items = [
-            get_text(t, lang, self.bert_extractor, spec=self.version_spec)
-            for t, lang in zip(texts, langs)
+        `language` and the four knobs accept either one value for the whole
+        batch or a per-item sequence.
+        """
+        n = len(texts)
+
+        def per_item(v, cast):
+            if isinstance(v, (str, int, float)):
+                return [cast(v)] * n
+            return [cast(x) for x in v]
+
+        langs = per_item(language, str)
+        knobs = {
+            "sdp_ratio": per_item(sdp_ratio, float),
+            "noise_scale": per_item(noise_scale, float),
+            "noise_scale_w": per_item(noise_scale_w, float),
+            "length_scale": per_item(length_scale, float),
+        }
+        reqs = [
+            self.prepare(
+                texts[i], speakers[i], language=langs[i], seed=seed,
+                **{k: v[i] for k, v in knobs.items()},
+            )
+            for i in range(n)
         ]
-        lens = [len(it[0]) for it in items]
-        t_x = self._bucket(max(lens))
-        max_frames = self._frame_cap(t_x, length_scale)
-
-        def pad(a):
-            width = [(0, t_x - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, width)
-
-        stacked = [
-            np.stack([pad(it[j]) for it in items]) for j in range(6)
-        ]
-        sids = [self.resolve_speaker(s) for s in speakers]
-        emo = self._resolve_emotion(None, None, len(texts))
-        fn = self._synth_fn(t_x, max_frames)
-        wave, _, _, y_len = fn(
-            self.params,
-            jnp.asarray(stacked[0]),
-            jnp.asarray(lens),
-            jnp.asarray(sids),
-            *[jnp.asarray(s) for s in stacked[1:]],
-            None if emo is None else jnp.asarray(emo),
-            jnp.float32(noise_scale),
-            jnp.float32(length_scale),
-            jnp.float32(noise_scale_w),
-            jnp.float32(sdp_ratio),
-            jax.random.key(seed),
-        )
-        wave, y_len = np.asarray(wave), np.asarray(y_len)
-        return [
-            wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
-            for i in range(len(texts))
-        ]
-
-    def _run(self, inputs, speaker, sdp_ratio, noise_scale, noise_scale_w,
-             length_scale, seed, emo=None) -> np.ndarray:
-        import jax
-        import jax.numpy as jnp
-
-        phones, tones, lang_ids, bert, ja_bert, en_bert = inputs
-        t = len(phones)
-        t_x = self._bucket(t)
-        max_frames = self._frame_cap(t_x, length_scale)
-
-        def pad(a):
-            width = [(0, t_x - t)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, width)
-
-        sid = self.resolve_speaker(speaker)
-        fn = self._synth_fn(t_x, max_frames)
-        wave, _, _, y_len = fn(
-            self.params,
-            jnp.asarray(pad(phones)[None]),
-            jnp.asarray([t]),
-            jnp.asarray([sid]),
-            jnp.asarray(pad(tones)[None]),
-            jnp.asarray(pad(lang_ids)[None]),
-            jnp.asarray(pad(bert)[None]),
-            jnp.asarray(pad(ja_bert)[None]),
-            jnp.asarray(pad(en_bert)[None]),
-            None if emo is None else jnp.asarray(emo),
-            jnp.float32(noise_scale),
-            jnp.float32(length_scale),
-            jnp.float32(noise_scale_w),
-            jnp.float32(sdp_ratio),
-            jax.random.key(seed),
-        )
-        n = min(int(np.asarray(y_len)[0]), max_frames) * self.hop_length
-        return np.asarray(wave)[0, :n]
+        return self.run_prepared(reqs)

@@ -251,19 +251,30 @@ class Synthesizer(nn.Module):
         """Statically-shaped synthesis. Ref: models.py:1026-1074.
 
         Returns (wave [b, max_frames*hop], attn, y_mask, y_lengths).
+
+        The four knobs (noise_scale, length_scale, noise_scale_w, sdp_ratio)
+        accept either scalars or per-item [b] arrays, so heterogeneous
+        requests can share one batched device call (the serving micro-batch
+        path).
         """
+
+        def knob(v, rank):  # () or [b] -> broadcastable vs a rank-`rank` array
+            v = jnp.asarray(v, jnp.float32)
+            return v.reshape(v.shape + (1,) * (rank - v.ndim))
+
         g = self._speaker(sid, y)
         x_h, m_p, logs_p, x_mask = self.enc_p(
             x, x_lengths, tone, language, bert, ja_bert, en_bert, emo=emo, g=g,
             deterministic=deterministic,
         )
         logw_sdp = self.sdp(
-            x_h, x_mask, g=g, reverse=True, noise_scale=noise_scale_w,
+            x_h, x_mask, g=g, reverse=True, noise_scale=knob(noise_scale_w, 3),
             deterministic=deterministic,
         )
         logw_dp = self.dp(x_h, x_mask, g=g, deterministic=deterministic)
+        sdp_ratio = knob(sdp_ratio, 3)
         logw = logw_sdp * sdp_ratio + logw_dp * (1.0 - sdp_ratio)
-        w = jnp.exp(logw[..., 0]) * x_mask * length_scale  # [b, t_x]
+        w = jnp.exp(logw[..., 0]) * x_mask * knob(length_scale, 2)  # [b, t_x]
         w_ceil = jnp.ceil(w)
         y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), min=1.0)
         y_lengths = jnp.minimum(y_lengths, max_frames).astype(jnp.int32)
@@ -273,7 +284,7 @@ class Synthesizer(nn.Module):
         m_p_y = jnp.einsum("byx,bxd->byd", attn, m_p)
         logs_p_y = jnp.einsum("byx,bxd->byd", attn, logs_p)
         eps = jax.random.normal(self.make_rng("noise"), m_p_y.shape, m_p_y.dtype)
-        z_p = m_p_y + eps * jnp.exp(logs_p_y) * noise_scale
+        z_p = m_p_y + eps * jnp.exp(logs_p_y) * knob(noise_scale, 3)
         dtype = jnp.dtype(self.cfg.infer_compute_dtype)
         if dtype != z_p.dtype:
             z_p, y_mask_c, g_c = z_p.astype(dtype), y_mask.astype(dtype), g.astype(dtype)

@@ -3,9 +3,10 @@
 Implements the same endpoint surface on the stdlib http.server (no
 fastapi/uvicorn in the image): GET/POST /voice, /models/info, /models/add,
 /models/delete, /models/get_unloaded, /models/get_local, /status,
-/tools/get_audio, /tools/random_example. Threaded: requests serialize around
-the engine's jitted call (XLA handles its own locking); host-side text
-processing runs concurrently.
+/tools/get_audio, /tools/random_example. Threaded: host-side text processing
+(g2p + BERT) runs on handler threads; device calls go through a per-model
+dynamic micro-batcher (serve/batcher.py) so concurrent requests and a
+paragraph's auto-split sentences share one batched XLA call.
 """
 
 from __future__ import annotations
@@ -43,13 +44,35 @@ class TTSService:
         models_dir: str = "Data",
         filelists: list | None = None,
         translate_keys: tuple = ("", ""),
+        batching: bool = True,
+        max_batch: int = 16,
+        batch_delay_ms: float = 10.0,
     ):
         self.registry = registry
         self.models_dir = models_dir
         self.lock = threading.Lock()
         self.filelists = filelists or []
         self.translate_keys = translate_keys
+        self.batching = batching
+        self.max_batch = max_batch
+        self.batch_delay_ms = batch_delay_ms
+        self._batchers: dict[int, object] = {}  # id(engine) -> MicroBatcher
         self._examples: list | None = None
+
+    def _batcher(self, engine):
+        """Lazily attach a MicroBatcher to an engine (one worker per model)."""
+        from bert_vits2_tpu.serve.batcher import MicroBatcher
+
+        key = id(engine)
+        with self.lock:
+            b = self._batchers.get(key)
+            if b is None:
+                b = MicroBatcher(
+                    engine, max_batch=self.max_batch,
+                    max_delay_s=self.batch_delay_ms / 1000.0,
+                )
+                self._batchers[key] = b
+        return b
 
     def random_example(self, language: str | None = None):
         """A random (text, speaker, language) row from the loaded filelists
@@ -113,8 +136,10 @@ class TTSService:
         if getattr(engine.model.cfg, "emotion", "none") != "none":
             style_kw = dict(emotion=emotion, reference_audio=reference_audio)
 
-        def synth_one(seg_text: str) -> np.ndarray:
+        def piece_requests(seg_text: str) -> list:
+            """One text piece -> ordered PreparedRequests (host-side only)."""
             lang = language.upper()
+            lang_map = {"ZH": "ZH", "JA": "JP", "JP": "JP", "EN": "EN"}
             if lang == "MIX":
                 # [speaker]<lang>text markup (webui.py mix mode); the
                 # `speaker` argument is ignored per-block
@@ -126,53 +151,64 @@ class TTSService:
                 ok, msg = validate_mix_text(seg_text)
                 if not ok:
                     raise ValueError(msg)
-                waves = []
-                for spk, segs in parse_mix_text(seg_text):
-                    segs = [
-                        (s, {"ZH": "ZH", "JA": "JP", "JP": "JP", "EN": "EN"}[l])
-                        for l, s in segs
-                    ]
-                    waves.append(engine.infer_multilang(segs, spk, **kw))
-                return (
-                    np.concatenate(waves) if waves else np.zeros(0, np.float32)
-                )
+                return [
+                    engine.prepare(
+                        None, spk,
+                        segments=[(s, lang_map[l]) for l, s in segs], **kw,
+                    )
+                    for spk, segs in parse_mix_text(seg_text)
+                ]
             if lang == "AUTO":
                 segs = split_by_language(
                     seg_text, getattr(engine, "languages", ["zh", "ja", "en"])
                 )
-                segs = [
-                    (s, {"ZH": "ZH", "JA": "JP", "JP": "JP", "EN": "EN"}[l.upper()])
-                    for s, l in segs
-                ]
+                segs = [(s, lang_map[l.upper()]) for s, l in segs]
                 if len(segs) == 1:
-                    return engine.infer(
-                        segs[0][0], speaker, language=segs[0][1],
-                        style_text=style_text, style_weight=style_weight,
-                        **style_kw, **kw,
-                    )
-                return engine.infer_multilang(segs, speaker, **kw)
-            return engine.infer(
-                seg_text, speaker, language=lang,
-                style_text=style_text, style_weight=style_weight,
-                **style_kw, **kw,
-            )
-
-        with self.lock:
-            if auto_split:
-                pieces = [
-                    s for para in cut_paragraphs(text) for s in cut_sentences(para)
-                ]
-                silence = np.zeros(
-                    int(engine.sampling_rate * silence_ms / 1000), np.float32
+                    return [
+                        engine.prepare(
+                            segs[0][0], speaker, language=segs[0][1],
+                            style_text=style_text, style_weight=style_weight,
+                            **style_kw, **kw,
+                        )
+                    ]
+                return [engine.prepare(None, speaker, segments=segs, **kw)]
+            return [
+                engine.prepare(
+                    seg_text, speaker, language=lang,
+                    style_text=style_text, style_weight=style_weight,
+                    **style_kw, **kw,
                 )
-                waves = []
-                for i, piece in enumerate(pieces):
-                    if i:
-                        waves.append(silence)
-                    waves.append(synth_one(piece))
-                audio = np.concatenate(waves) if waves else np.zeros(0, np.float32)
-            else:
-                audio = synth_one(text)
+            ]
+
+        # Host-side prep (g2p + BERT) for every piece, then ONE batched
+        # synthesis path: a paragraph's sentences and concurrent requests
+        # share device calls via the micro-batcher (the reference loops
+        # infer() per piece, hiyoriUI.py:320-339).
+        if auto_split:
+            pieces = [
+                s for para in cut_paragraphs(text) for s in cut_sentences(para)
+            ]
+        else:
+            pieces = [text]
+        jobs = [piece_requests(p) for p in pieces]
+        flat = [r for job in jobs for r in job]
+        if not flat:
+            return np.zeros(0, np.float32), engine.sampling_rate
+        if self.batching:
+            flat_waves = self._batcher(engine).submit(flat)
+        else:
+            with self.lock:
+                flat_waves = engine.run_prepared(flat)
+        silence = np.zeros(
+            int(engine.sampling_rate * silence_ms / 1000), np.float32
+        )
+        waves, i = [], 0
+        for j, job in enumerate(jobs):
+            if j:
+                waves.append(silence)
+            waves.extend(flat_waves[i : i + len(job)])
+            i += len(job)
+        audio = np.concatenate(waves) if waves else np.zeros(0, np.float32)
         return audio, engine.sampling_rate
 
     # ---- model management (hiyoriUI.py:437-583) ----
@@ -196,8 +232,18 @@ class TTSService:
         return {"status": 0, "detail": "模型添加成功", "Data": {"model_id": mid}}
 
     def models_delete(self, model_id: int) -> dict:
+        engine = self.registry.get(model_id) if model_id in self.registry else None
         if self.registry.del_model(model_id) is None:
             return {"status": 14, "detail": f"模型{model_id}不存在，删除失败"}
+        still_loaded = engine is not None and any(
+            info["engine"] is engine for info in self.registry.models.values()
+        )
+        if engine is not None and not still_loaded:
+            # last alias dropped: retire its micro-batcher worker
+            with self.lock:
+                batcher = self._batchers.pop(id(engine), None)
+            if batcher is not None:
+                batcher.close()
         return {"status": 0, "detail": "删除成功"}
 
     def models_get_local(self) -> dict:
@@ -390,9 +436,15 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 5000,
     models_dir: str = "Data",
+    batching: bool = True,
+    max_batch: int = 16,
+    batch_delay_ms: float = 10.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; .serve_forever() to run."""
-    service = TTSService(registry, models_dir=models_dir)
+    service = TTSService(
+        registry, models_dir=models_dir, batching=batching,
+        max_batch=max_batch, batch_delay_ms=batch_delay_ms,
+    )
     handler = type("BoundHandler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
 
@@ -408,6 +460,15 @@ def main():
         "--model", action="append", default=[],
         help="model_path:config_path pair to preload (repeatable)",
     )
+    ap.add_argument(
+        "--no-batching", action="store_true",
+        help="disable dynamic request micro-batching",
+    )
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument(
+        "--batch-delay-ms", type=float, default=10.0,
+        help="max wait for batch co-riders before flushing a device call",
+    )
     args = ap.parse_args()
 
     from bert_vits2_tpu.infer.loader import load_tts_engine
@@ -418,7 +479,11 @@ def main():
     for pair in args.model:
         mp, _, cp = pair.partition(":")
         registry.init_model(mp, cp or os.path.join(os.path.dirname(mp), "config.json"))
-    srv = make_server(registry, args.host, args.port, args.models_dir)
+    srv = make_server(
+        registry, args.host, args.port, args.models_dir,
+        batching=not args.no_batching, max_batch=args.max_batch,
+        batch_delay_ms=args.batch_delay_ms,
+    )
     print(f"serving on http://{args.host}:{args.port}")
     srv.serve_forever()
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import signal
 
 import jax
 import jax.numpy as jnp
