@@ -189,6 +189,19 @@ class TTSEngine:
                 return b
         return ((t + 63) // 64) * 64
 
+    def group_key(self, req: "PreparedRequest"):
+        """Batching key: requests sharing it can ride one device call.
+
+        Includes the emo tensor's kind (shape tail + dtype) because V2.1
+        engines accept either a [b] int32 codebook index or a [b, 1024]
+        float vector — different jit graphs that cannot share a batch."""
+        emo_kind = (
+            None
+            if req.emo is None
+            else (req.emo.dtype.str, req.emo.shape[1:])
+        )
+        return (self._bucket(len(req.inputs[0])), emo_kind)
+
     def _frame_cap(self, t_x: int, length_scale: float) -> int:
         cap = int(t_x * self.frames_per_token * max(length_scale, 1.0))
         m = self.frame_multiple
@@ -325,6 +338,20 @@ class TTSEngine:
         import jax
         import jax.numpy as jnp
 
+        kinds = {self.group_key(r)[1] for r in reqs}
+        if len(kinds) > 1:
+            raise ValueError(
+                "run_prepared: requests mix emotion input kinds "
+                f"{sorted(map(str, kinds))}; batch requests with the same "
+                "group_key (codebook index vs reference-audio vector are "
+                "different graphs)"
+            )
+        n_req = len(reqs)
+        # pad the batch dim to a power of two (duplicating the last request)
+        # so serve-time batches hit a small set of compiled batch shapes
+        # instead of one XLA compile per arrival count 1..max_batch
+        n_pad = 1 << max(n_req - 1, 0).bit_length()
+        reqs = list(reqs) + [reqs[-1]] * (n_pad - n_req)
         lens = [len(r.inputs[0]) for r in reqs]
         t_x = self._bucket(max(lens))
         max_frames = self._frame_cap(
@@ -361,7 +388,7 @@ class TTSEngine:
         wave, y_len = np.asarray(wave), np.asarray(y_len)
         return [
             wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
-            for i in range(len(reqs))
+            for i in range(n_req)
         ]
 
     def infer_multilang(

@@ -356,24 +356,48 @@ def make_slm_fns(params: dict, cfg: WavLMConfig, input_sr: int = 44100,
                  model_sr: int = 16000):
     """-> (slm_embed, slm_feature_fn) for train.step.make_train_step.
 
-    slm_embed(wave [b,t]@input_sr) -> [b, t', layers*hidden] stacked states
-    (layer-major blocks, matching torch.stack(...).flatten(1,2) in
+    slm_embed(params, wave [b,t]@input_sr) -> [b, t', layers*hidden] stacked
+    states (layer-major blocks, matching torch.stack(...).flatten(1,2) in
     losses.py:93-112); slm_feature_fn returns the per-layer list for the L1
     feature loss (losses.py:73-90).
+
+    The returned fns take the WavLM params EXPLICITLY (first argument):
+    closing over the 95M-param tree would embed ~380 MB of constants in every
+    jitted train-step HLO — far past what a compile service will accept, and
+    wasteful even locally. `params` here is only the default used when the
+    caller passes None. The resampler kernel rides inside the param tree for
+    the same reason (it is ~14 MB at 44.1k->16k).
     """
     model = WavLMJax(cfg)
-    resample = make_resampler(input_sr, model_sr)
+    kernel, width, orig, new = sinc_resample_kernel(input_sr, model_sr)
+    default_params = dict(params, __resample_kernel__=jnp.asarray(kernel))
 
-    def hidden_states(wave):
-        return model.apply({"params": params}, resample(wave))
+    def resample(kernel_j, wave):
+        b, length = wave.shape
+        x = jnp.pad(wave, ((0, 0), (width, width + orig)))[:, None, :]
+        y = jax.lax.conv_general_dilated(
+            x, kernel_j, window_strides=(orig,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        y = jnp.swapaxes(y, 1, 2).reshape(b, -1)
+        target = int(math.ceil(new * length / orig))
+        return y[:, :target]
 
-    def slm_feature_fn(wave):
-        return hidden_states(wave)
+    def hidden_states(p, wave):
+        p = p if p is not None else default_params
+        kernel_j = p["__resample_kernel__"]
+        wl = {k: v for k, v in p.items() if k != "__resample_kernel__"}
+        return model.apply({"params": wl}, resample(kernel_j, wave))
 
-    def slm_embed(wave):
-        hs = hidden_states(wave)
+    def slm_feature_fn(p, wave):
+        return hidden_states(p, wave)
+
+    def slm_embed(p, wave):
+        hs = hidden_states(p, wave)
         return jnp.concatenate(hs, axis=-1)
 
+    slm_embed.params = default_params
+    slm_feature_fn.params = default_params
     return slm_embed, slm_feature_fn
 
 

@@ -140,7 +140,7 @@ def maximum_path_pallas(
     path = pl.pallas_call(
         _mas_kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # streamed chunk by chunk
+            pl.BlockSpec(memory_space=pl.ANY),  # streamed chunk by chunk
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

@@ -18,11 +18,11 @@ import time
 
 
 class _Pending:
-    __slots__ = ("req", "bucket", "enqueued", "done", "wave", "error")
+    __slots__ = ("req", "key", "enqueued", "done", "wave", "error")
 
-    def __init__(self, req, bucket: int):
+    def __init__(self, req, key):
         self.req = req
-        self.bucket = bucket
+        self.key = key  # engine.group_key: (text bucket, emo kind)
         self.enqueued = time.monotonic()
         self.done = threading.Event()
         self.wave = None
@@ -32,8 +32,9 @@ class _Pending:
 class MicroBatcher:
     """Groups concurrent PreparedRequests into batched engine calls.
 
-    Requests are grouped by the engine's text-length bucket so a short
-    utterance is never padded out to a long one's shape; a group is flushed
+    Requests are grouped by the engine's `group_key` (text-length bucket +
+    emotion-input kind) so a short utterance is never padded out to a long
+    one's shape and incompatible graphs never share a call; a group is flushed
     when it reaches `max_batch` or its oldest member has waited
     `max_delay_s`. Each batched call draws noise from the first rider's
     seed, so per-request noise depends on batch composition — acceptable
@@ -67,9 +68,7 @@ class MicroBatcher:
         Requests may land in different device batches (different buckets /
         flush windows); results come back in request order regardless.
         """
-        pendings = [
-            _Pending(r, self.engine._bucket(len(r.inputs[0]))) for r in reqs
-        ]
+        pendings = [_Pending(r, self.engine.group_key(r)) for r in reqs]
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -101,7 +100,7 @@ class MicroBatcher:
             head = self._queue[0]
             deadline = head.enqueued + self.max_delay_s
             while True:
-                same = [p for p in self._queue if p.bucket == head.bucket]
+                same = [p for p in self._queue if p.key == head.key]
                 remaining = deadline - time.monotonic()
                 if len(same) >= self.max_batch or remaining <= 0 or self._closed:
                     group = same[: self.max_batch]

@@ -54,15 +54,26 @@ class ModelRegistry:
 
     def del_model(self, model_id: int) -> int | None:
         """Drop one alias; weights free when the last alias goes."""
+        engine, _ = self.release(model_id)
+        return model_id if engine is not None else None
+
+    def release(self, model_id: int):
+        """Atomically drop an alias -> (engine, still_referenced).
+
+        `still_referenced` is computed under the registry lock so callers can
+        safely retire per-engine resources (batcher workers) without racing
+        concurrent add/delete handlers."""
         with self._lock:
             if model_id not in self.models:
-                return None
+                return None, False
             info = self.models.pop(model_id)
             ids = self.path2ids.get(info["path"], set())
             ids.discard(model_id)
             if not ids:
                 self.path2ids.pop(info["path"], None)
-            return model_id
+            engine = info["engine"]
+            still = any(i["engine"] is engine for i in self.models.values())
+            return engine, still
 
     def info(self) -> dict:
         """Per-model metadata for /models/info (hiyoriUI.py:472-500)."""

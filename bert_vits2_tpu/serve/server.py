@@ -197,8 +197,20 @@ class TTSService:
         if self.batching:
             flat_waves = self._batcher(engine).submit(flat)
         else:
+            # group by the engine's batching key and chunk to max_batch so a
+            # long article never becomes one unbounded batch padded to its
+            # longest sentence (device OOM + per-length compiles)
+            by_key: dict = {}
+            for i, r in enumerate(flat):
+                by_key.setdefault(engine.group_key(r), []).append(i)
+            flat_waves = [None] * len(flat)
             with self.lock:
-                flat_waves = engine.run_prepared(flat)
+                for ids in by_key.values():
+                    for s in range(0, len(ids), self.max_batch):
+                        chunk = ids[s : s + self.max_batch]
+                        waves = engine.run_prepared([flat[i] for i in chunk])
+                        for i, w in zip(chunk, waves):
+                            flat_waves[i] = w
         silence = np.zeros(
             int(engine.sampling_rate * silence_ms / 1000), np.float32
         )
@@ -232,13 +244,10 @@ class TTSService:
         return {"status": 0, "detail": "模型添加成功", "Data": {"model_id": mid}}
 
     def models_delete(self, model_id: int) -> dict:
-        engine = self.registry.get(model_id) if model_id in self.registry else None
-        if self.registry.del_model(model_id) is None:
+        engine, still_loaded = self.registry.release(model_id)
+        if engine is None:
             return {"status": 14, "detail": f"模型{model_id}不存在，删除失败"}
-        still_loaded = engine is not None and any(
-            info["engine"] is engine for info in self.registry.models.values()
-        )
-        if engine is not None and not still_loaded:
+        if not still_loaded:
             # last alias dropped: retire its micro-batcher worker
             with self.lock:
                 batcher = self._batchers.pop(id(engine), None)

@@ -24,8 +24,13 @@ _CMUDICT_CANDIDATES = [
     os.environ.get("BVT_CMUDICT", ""),
     os.path.join(os.path.dirname(__file__), "assets", "cmudict.rep"),
     os.path.expanduser("~/.cache/bert_vits2_tpu/cmudict.rep"),
-    "/root/reference/text/cmudict.rep",  # dev container convenience
 ]
+# bundled: the public-domain CMU Pronouncing Dictionary (syllabified), same
+# 129482 entries the reference ships as text/cmudict.rep, re-encoded as
+# "WORD|syl;syl" gz rows
+_CMUDICT_BUNDLED = os.path.join(
+    os.path.dirname(__file__), "assets", "cmudict.txt.gz"
+)
 
 _PUNCT_REWRITE = {
     "：": ",", "；": ",", "，": ",", "。": ".", "！": "!", "？": "?",
@@ -41,20 +46,31 @@ _PUNCT_REWRITE = {
 
 @functools.lru_cache(maxsize=1)
 def get_dict() -> dict:
-    """Parse the syllabified CMUdict ('WORD  S1 P - S2 P' rows, header 48 lines)."""
+    """Syllabified CMUdict: an override `.rep` file ('WORD  S1 P - S2 P' rows,
+    48 header lines, reference english.py:173-194) when present, else the
+    bundled gz asset — never empty."""
     path = next((p for p in _CMUDICT_CANDIDATES if p and os.path.exists(p)), None)
-    if path is None:
-        return {}
     out: dict[str, list[list[str]]] = {}
-    with open(path, encoding="latin-1") as f:
-        for i, line in enumerate(f):
-            if i < 48:
+    if path is not None:
+        with open(path, encoding="latin-1") as f:
+            for i, line in enumerate(f):
+                if i < 48:
+                    continue
+                line = line.strip()
+                if not line or "  " not in line:
+                    continue
+                word, pron = line.split("  ", 1)
+                out[word] = [syl.split(" ") for syl in pron.split(" - ")]
+        return out
+    import gzip
+
+    with gzip.open(_CMUDICT_BUNDLED, "rt", encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
                 continue
-            line = line.strip()
-            if not line or "  " not in line:
-                continue
-            word, pron = line.split("  ", 1)
-            out[word] = [syl.split(" ") for syl in pron.split(" - ")]
+            word, pron = line.split("|", 1)
+            out[word] = [syl.split(" ") for syl in pron.split(";")]
     return out
 
 

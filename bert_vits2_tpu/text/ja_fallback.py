@@ -1,0 +1,212 @@
+"""Dictionary-based Japanese reading + pitch-accent fallback.
+
+The reference derives kanji readings and Tokyo pitch accents from
+pyopenjtalk's NAIST dictionary + HTS labels (reference text/japanese.py:
+376-440). pyopenjtalk/MeCab are optional here; when absent this module makes
+kanji text *degrade to dictionary lookup* instead of raising, and gives kana
+non-flat accents:
+
+- a hand-curated lexicon (``assets/ja_lexicon.tsv``) of common words:
+  surface -> katakana reading + NHK-style accent type (0 = heiban,
+  1 = atamadaka, k = drop after mora k),
+- a single-kanji reading table for out-of-lexicon characters (on'yomi or
+  the dominant kun'yomi), accent defaulting to heiban,
+- longest-match segmentation, particle heuristics (は->ワ, へ->エ, を->オ),
+- accent-type -> per-mora H/L -> per-phoneme {0,1} tones (the same tone
+  inventory align_tones produces from HTS labels, japanese.py:635-655).
+
+This is a *degraded* mode: readings of rare compounds and accent sandhi
+across phrases won't match NAIST output. With pyopenjtalk installed the
+primary path is used instead and this module is never imported.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+_ASSET = os.path.join(os.path.dirname(__file__), "assets", "ja_lexicon.tsv")
+
+_SMALL = "ャュョァィゥェォヮ"
+_HIRA2KATA = {chr(h): chr(h + 0x60) for h in range(0x3041, 0x3097)}
+
+
+def hira2kata(text: str) -> str:
+    return "".join(_HIRA2KATA.get(c, c) for c in text)
+
+
+@functools.lru_cache(maxsize=1)
+def lexicon() -> dict[str, tuple[str, int]]:
+    """surface -> (katakana reading, accent type)."""
+    out: dict[str, tuple[str, int]] = {}
+    with open(_ASSET, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            surface, reading, acc = line.split("\t")
+            out[surface] = (reading, int(acc))
+            hira = "".join(
+                chr(ord(c) - 0x60) if "ァ" <= c <= "ヶ" else c for c in surface
+            )
+            if hira != surface and hira not in out:
+                out[hira] = (reading, int(acc))
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def kanji_readings() -> dict[str, str]:
+    """Single character -> katakana reading (OOV degradation)."""
+    out = {}
+    with open(_ASSET, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("#KANJI\t"):
+                continue
+            _, char, reading = line.split("\t")
+            out[char] = reading
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _max_word_len() -> int:
+    return max((len(k) for k in lexicon()), default=1)
+
+
+_PARTICLES = {"は": "ワ", "へ": "エ", "を": "オ"}
+
+# counter readings used when the char follows a number (数詞+助数詞);
+# standalone these kanji read via the lexicon/kanji table instead
+_COUNTERS = {
+    "年": "ネン", "月": "ガツ", "日": "ニチ", "時": "ジ", "分": "フン",
+    "秒": "ビョー", "人": "ニン", "円": "エン", "回": "カイ", "個": "コ",
+    "本": "ホン", "冊": "サツ", "歳": "サイ", "台": "ダイ", "匹": "ヒキ",
+    "枚": "マイ", "番": "バン", "階": "カイ", "度": "ド", "点": "テン",
+}
+# morae that occur in Japanese number readings (ゼロ/イチ/ニ/サン/ヨン/ゴ/
+# ロク/ナナ/ハチ/キュー/ジュー/ヒャク/セン/マン/オク/チョー/テン)
+_NUMBER_KANA = set("ゼロレイチニサンヨシゴクナハキュウジッヒャビピセマオチョテンーュ")
+
+
+def _is_number_reading(kata: str) -> bool:
+    return bool(kata) and all(c in _NUMBER_KANA for c in kata)
+
+
+def segment(text: str) -> list[tuple[str, str, int]]:
+    """Longest-match -> [(surface, katakana reading, accent type)].
+
+    Kana runs not in the lexicon read as themselves (kana is phonetic);
+    OOV kanji fall back to per-character readings; anything else is passed
+    through one char at a time (punctuation is handled by the caller)."""
+    lex = lexicon()
+    kread = kanji_readings()
+    out: list[tuple[str, str, int]] = []
+    i, n = 0, len(text)
+    max_len = _max_word_len()
+    while i < n:
+        c = text[i]
+        # counter after a number: 年->ネン, 日->ニチ, ...
+        if c in _COUNTERS and out and _is_number_reading(out[-1][1]):
+            out.append((c, _COUNTERS[c], 0))
+            i += 1
+            continue
+        # 々 repeats the previous character's reading
+        if c == "々" and out:
+            out.append((c, out[-1][1], 0))
+            i += 1
+            continue
+        matched = False
+        for length in range(min(max_len, n - i), 0, -1):
+            cand = text[i : i + length]
+            if cand in lex:
+                reading, acc = lex[cand]
+                # particle heuristic: a bare は/へ after another segment is
+                # (almost always) the particle — reading ワ/エ
+                if length == 1 and cand in ("は", "へ") and out:
+                    reading = _PARTICLES[cand]
+                    acc = 0
+                out.append((cand, reading, acc))
+                i += length
+                matched = True
+                break
+        if matched:
+            continue
+        if c == "を":
+            out.append((c, "オ", 0))
+            i += 1
+        elif "ぁ" <= c <= "ゖ" or "ァ" <= c <= "ヶ" or c in "ーッっ":
+            # unknown kana run: group the maximal kana stretch, read as-is
+            j = i
+            while j < n and ("ぁ" <= text[j] <= "ゖ" or "ァ" <= text[j] <= "ヶ"
+                             or text[j] in "ーッっ"):
+                if text[i:j + 1] in lex and j > i:
+                    break
+                j += 1
+            run = text[i:j]
+            out.append((run, hira2kata(run), 0))
+            i = j
+        elif c in kread:
+            out.append((c, kread[c], 0))
+            i += 1
+        else:
+            out.append((c, c, 0))
+            i += 1
+    return out
+
+
+# -------------------------------------------------------------- accent maths
+
+def mora_split(kata: str) -> list[str]:
+    """Katakana -> morae (small kana attach left; ー/ッ/ン count as morae)."""
+    morae: list[str] = []
+    for c in kata:
+        if c in _SMALL and morae:
+            morae[-1] += c
+        else:
+            morae.append(c)
+    return morae
+
+
+def accent_pitches(n_morae: int, acc: int) -> list[int]:
+    """Tokyo pitch pattern: per-mora H(1)/L(0) for accent type `acc`."""
+    if n_morae == 0:
+        return []
+    if acc == 1:
+        return [1] + [0] * (n_morae - 1)
+    if acc == 0:
+        return [0] + [1] * (n_morae - 1)
+    k = min(acc, n_morae)
+    return [0] + [1] * (k - 1) + [0] * (n_morae - k)
+
+
+def word_phones_tones(reading: str, acc: int, kata2phoneme) -> tuple[list[str], list[int]]:
+    """Reading + accent -> (phonemes, per-phoneme {0,1} tones).
+
+    Phonemes per mora come from the caller's kata2phoneme so the inventory
+    matches the primary path exactly; the word-level concatenation equals
+    kata2phoneme(reading) (ー expansion spans morae via the running last
+    vowel)."""
+    morae = mora_split(reading)
+    pitches = accent_pitches(len(morae), acc)
+    phones: list[str] = []
+    tones: list[int] = []
+    last_vowel = "e"  # ー with no preceding vowel: rare, arbitrary but stable
+    for mora, pitch in zip(morae, pitches):
+        if mora == "ー":
+            ph = [last_vowel]
+        else:
+            ph = kata2phoneme(mora)
+        for p in ph:
+            phones.append(p)
+            tones.append(pitch)
+            if p and p[-1] in "aiueo":
+                last_vowel = p[-1]
+            elif p == "n" or p == "N":
+                last_vowel = p
+    return phones, tones
+
+
+__all__ = [
+    "lexicon", "kanji_readings", "segment", "mora_split",
+    "accent_pitches", "word_phones_tones", "hira2kata",
+]

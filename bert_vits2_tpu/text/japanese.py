@@ -200,8 +200,14 @@ def convert_numbers(text: str) -> str:
             r"[0-9]+(\.[0-9]+)?", lambda m: num2words(m.group(0), lang="ja"), text
         )
     except ImportError:
+        # katakana (not hiragana) so the dictionary-fallback segmenter keeps
+        # the number one segment and can apply counter readings (年->ネン)
+        from bert_vits2_tpu.text.ja_fallback import hira2kata
+
         return re.sub(
-            r"[0-9]+(\.[0-9]+)?", lambda m: number_to_japanese(m.group(0)), text
+            r"[0-9]+(\.[0-9]+)?",
+            lambda m: hira2kata(number_to_japanese(m.group(0))),
+            text,
         )
 
 
@@ -343,7 +349,44 @@ def _tokenize(word: str) -> list[str]:
     return list(word) if word not in PUNCTUATION else [word]
 
 
+def _g2p_fallback(norm_text: str):
+    """pyopenjtalk-less g2p: lexicon segmentation + dictionary readings +
+    accent-type pitch patterns (text/ja_fallback.py). Kanji degrade to
+    dictionary lookup; kana get non-flat Tokyo accents."""
+    from bert_vits2_tpu.text import ja_fallback as jf
+
+    phones: list[str] = []
+    tones: list[int] = []
+    word2ph: list[int] = []
+    for surface, reading, acc in jf.segment(norm_text):
+        if surface in PUNCTUATION:
+            phones.append(surface)
+            tones.append(0)
+            word2ph.append(1)
+            continue
+        ph, tn = jf.word_phones_tones(reading, acc, kata2phoneme)
+        ph = [p if p in _JA_PHONE_SET or p in PUNCTUATION else "UNK" for p in ph]
+        phones += ph
+        tones += tn
+        word2ph += distribute_phone(len(ph), len(_tokenize(surface)))
+    phones = ["_"] + phones + ["_"]
+    tones = [0] + tones + [0]
+    word2ph = [1] + word2ph + [1]
+    assert len(phones) == len(tones)
+    assert sum(word2ph) == len(phones)
+    return phones, tones, word2ph
+
+
+_JA_PHONE_SET = {
+    "N", "a", "b", "by", "ch", "d", "dy", "e", "f", "g", "gy", "h", "hy",
+    "i", "j", "k", "ky", "m", "my", "n", "ny", "o", "p", "py", "q", "r",
+    "ry", "s", "sh", "t", "ts", "ty", "u", "v", "w", "y", "z", "zy",
+}
+
+
 def g2p(norm_text: str):
+    if _openjtalk() is None:
+        return _g2p_fallback(norm_text)
     sep_text, sep_kata, acc = text2sep_kata(norm_text)
     sep_tokenized = [_tokenize(w) for w in sep_text if w]
     sep_phonemes = handle_long([kata2phoneme(i) for i in sep_kata if i])

@@ -174,10 +174,11 @@ def _g2p_segments(sentences: list[str]):
             finals += sub_finals
         for c, v in zip(initials, finals):
             if c == v:
-                # punctuation token (initial==final==char)
-                if c not in PUNCTUATION:
-                    continue
-                phones_list.append(c)
+                # punctuation token (initial==final==char); hanzi missing
+                # from the fallback lexicon become UNK so word2ph stays
+                # aligned with the normalized text (reference post-replace
+                # maps out-of-symbol phones to UNK, chinese.py:70-76)
+                phones_list.append(c if c in PUNCTUATION else "UNK")
                 tones_list.append(0)
                 word2ph.append(1)
                 continue

@@ -186,6 +186,198 @@ for _tok in _CHAR_DATA.split():
     CHAR_PINYIN.setdefault(_tok[0], _tok[1:])
 
 
+
+# second frequency tier + gap-fill (appended round 2)
+_CHAR_DATA2 = """
+么me5 着zhuo2 了liao3 几ji3 被bei4 让rang4 给gei3 位wei4 条tiao2 件jian4
+或huo4 且qie3 若ruo4 既ji4 则ze2 未wei4 曾ceng2 再zai4 又you4 才cai2 仅jin3
+必bi4 须xu1 应ying1 该gai1 许xu3 些xie1 每mei3 各ge4 另ling4 其qi2 某mou3
+任ren4 互hu4 相xiang1 均jun1 皆jie1 乃nai3 即ji2 并bing4 亦yi4 尚shang4
+号hao4 码ma3 段duan4 页ye4 章zhang1 篇pian1 册ce4 卷juan4 版ban3 刊kan1
+报bao4 闻wen2 讯xun4 消xiao1 评ping2 论lun4 议yi4 题ti2 答da2 案an4 据ju4
+证zheng4 明ming2 显xian3 隐yin3 露lu4 藏cang2 含han2 包bao1 括kuo4 扩kuo4
+缩suo1 减jian3 增zeng1 添tian1 补bu3 充chong1 满man3 空kong1 缺que1 失shi1
+败bai4 胜sheng4 赢ying2 输shu1 赛sai4 竞jing4 争zheng1 夺duo2 抢qiang3
+偷tou1 盗dao4 骗pian4 谎huang3 骂ma4 吵chao3 闹nao4 静jing4 吼hou3 喊han3
+叫jiao4 唤huan4 呼hu1 吸xi1 吹chui1 吐tu3 咬yao3 嚼jiao2 吞tun1 咽yan4
+舔tian3 闻wen2 嗅xiu4 摸mo1 碰peng4 撞zhuang4 推tui1 拉la1 拖tuo1 拽zhuai4
+抬tai2 扛kang2 搬ban1 挪nuo2 移yi2 搁ge1 摆bai3 挂gua4 吊diao4 悬xuan2
+捆kun3 绑bang3 系ji4 解jie3 缚fu4 拴shuan1 套tao4 罩zhao4 盖gai4 掀xian1
+揭jie1 翻fan1 折zhe2 叠die2 卷juan3 摊tan1 铺pu1 垫dian4 压ya1 挤ji3
+捏nie1 搓cuo1 揉rou2 擦ca1 抹mo3 刷shua1 扫sao3 拖tuo1 洒sa3 泼po1
+浇jiao1 灌guan4 淋lin2 泡pao4 浸jin4 染ran3 晒shai4 烘hong1 烤kao3 蒸zheng1
+煮zhu3 炒chao3 炸zha2 煎jian1 炖dun4 烧shao1 烫tang4 焖men4 熬ao2 拌ban4
+切qie1 剁duo4 削xiao1 剥bao1 磨mo2 碾nian3 榨zha4 酿niang4 腌yan1 晾liang4
+冻dong4 融rong2 化hua4 凝ning2 固gu4 液ye4 态tai4 汽qi4 滴di1 流liu2
+淌tang3 涌yong3 溅jian4 喷pen1 涨zhang3 退tui4 潮chao2 汐xi1 波bo1 涛tao1
+漩xuan2 涡wo1 漂piao1 浮fu2 沉chen2 没mo4 潜qian2 渡du4 航hang2 驶shi3
+停ting2 泊bo2 靠kao4 岸an4 登deng1 攀pan1 爬pa2 滑hua2 滚gun3 翻fan1
+摔shuai1 跌die1 绊ban4 撑cheng1 扶fu2 搀chan1 搂lou3 抱bao4 搂lou3 挽wan3
+牵qian1 领ling3 率shuai4 带dai4 队dui4 伍wu3 排pai2 列lie4 纵zong4 横heng2
+竖shu4 斜xie2 弯wan1 曲qu1 直zhi2 绕rao4 环huan2 圈quan1 围wei2 拢long3
+聚ju4 散san4 集ji2 汇hui4 凑cou4 拼pin1 组zu3 配pei4 搭da1 架jia4
+构gou4 建jian4 筑zhu4 造zao4 制zhi4 产chan3 销xiao1 购gou4 租zu1 赁lin4
+贷dai4 偿chang2 赔pei2 罚fa2 奖jiang3 惩cheng2 赏shang3 贿hui4 赂lu4
+税shui4 费fei4 账zhang4 款kuan3 币bi4 钞chao1 兑dui4 汇hui4 储chu3 蓄xu4
+投tou2 资zi1 股gu3 份fen4 债zhai4 券quan4 息xi1 利li4 润run4 亏kui1
+损sun3 耗hao4 省sheng3 俭jian3 奢she1 侈chi3 豪hao2 华hua2 贵gui4 贱jian4
+廉lian2 价jia4 值zhi2 估gu1 测ce4 量liang4 衡heng2 秤cheng4 称cheng1
+斤jin1 两liang3 吨dun1 升sheng1 斗dou3 亩mu3 顷qing3 尺chi3 寸cun4 丈zhang4
+码ma3 厘li2 毫hao2 微wei1 纳na4 秒miao3 瞬shun4 刹cha4 霎sha4 刻ke4
+钟zhong1 晌shang3 旬xun2 载zai3 纪ji4 岁sui4 龄ling2 辈bei4 世shi4 代dai4
+孙sun1 曾zeng1 玄xuan2 嫡di2 庶shu4 宗zong1 族zu2 氏shi4 姓xing4 裔yi4
+婚hun1 嫁jia4 娶qu3 聘pin4 媒mei2 妁shuo4 姻yin1 缘yuan2 恋lian4 慕mu4
+念nian4 盼pan4 琴qin2 棋qi2 书shu1 画hua4 诗shi1 词ci2 赋fu4 曲qu3
+"""
+for _tok in _CHAR_DATA2.split():
+    CHAR_PINYIN.setdefault(_tok[0], _tok[1:])
+
+WORD_PINYIN.update({
+    "为了": ["wei4", "le5"], "因为": ["yin1", "wei4"], "以为": ["yi3", "wei2"],
+    "认为": ["ren4", "wei2"], "成为": ["cheng2", "wei2"], "行为": ["xing2", "wei2"],
+    "作为": ["zuo4", "wei2"], "为什么": ["wei4", "shen2", "me5"],
+    "了解": ["liao3", "jie3"], "了不起": ["liao3", "bu5", "qi3"],
+    "只有": ["zhi3", "you3"], "一只": ["yi4", "zhi1"], "船只": ["chuan2", "zhi1"],
+    "只是": ["zhi3", "shi4"], "知识": ["zhi1", "shi5"], "认识": ["ren4", "shi5"],
+    "着急": ["zhao2", "ji2"], "着火": ["zhao2", "huo3"], "穿着": ["chuan1", "zhuo2"],
+    "沉着": ["chen2", "zhuo2"], "着陆": ["zhuo2", "lu4"],
+    "办法": ["ban4", "fa3"], "方法": ["fang1", "fa3"],
+    "便宜": ["pian2", "yi5"], "方便": ["fang1", "bian4"],
+    "大便": ["da4", "bian4"], "便是": ["bian4", "shi4"],
+    "答应": ["da1", "ying5"], "回答": ["hui2", "da2"], "答案": ["da2", "an4"],
+    "应该": ["ying1", "gai1"], "应用": ["ying4", "yong4"], "反应": ["fan3", "ying4"],
+    "空气": ["kong1", "qi4"], "天空": ["tian1", "kong1"], "空儿": ["kong4", "er5"],
+    "有空": ["you3", "kong4"], "空闲": ["kong4", "xian2"],
+    "会计": ["kuai4", "ji4"], "一会儿": ["yi2", "hui4", "er5"],
+    "朝阳": ["zhao1", "yang2"], "朝代": ["chao2", "dai4"], "朝鲜": ["chao2", "xian3"],
+    "调查": ["diao4", "cha2"], "调整": ["tiao2", "zheng3"], "空调": ["kong1", "tiao2"],
+    "强调": ["qiang2", "diao4"], "声调": ["sheng1", "diao4"],
+    "好像": ["hao3", "xiang4"], "爱好": ["ai4", "hao4"], "好奇": ["hao4", "qi2"],
+    "处理": ["chu3", "li3"], "到处": ["dao4", "chu4"], "处处": ["chu4", "chu4"],
+    "相处": ["xiang1", "chu3"], "好处": ["hao3", "chu4"],
+    "背包": ["bei1", "bao1"], "背后": ["bei4", "hou4"], "背诵": ["bei4", "song4"],
+    "分钟": ["fen1", "zhong1"], "部分": ["bu4", "fen5"], "十分": ["shi2", "fen1"],
+    "分外": ["fen4", "wai4"], "身分": ["shen1", "fen4"],
+    "奇怪": ["qi2", "guai4"], "奇数": ["ji1", "shu4"],
+    "假如": ["jia3", "ru2"], "假期": ["jia4", "qi1"], "放假": ["fang4", "jia4"],
+    "请假": ["qing3", "jia4"], "真假": ["zhen1", "jia3"],
+    "中间": ["zhong1", "jian1"], "房间": ["fang2", "jian1"],
+    "间接": ["jian4", "jie1"], "时间": ["shi2", "jian1"],
+    "弹琴": ["tan2", "qin2"], "子弹": ["zi3", "dan4"], "弹性": ["tan2", "xing4"],
+    "扫地": ["sao3", "di4"], "扫帚": ["sao4", "zhou5"],
+    "血液": ["xue4", "ye4"], "流血": ["liu2", "xie3"],
+    "宁愿": ["ning4", "yuan4"], "安宁": ["an1", "ning2"],
+    "喝水": ["he1", "shui3"], "喝彩": ["he4", "cai3"],
+    "转身": ["zhuan3", "shen1"], "转动": ["zhuan4", "dong4"], "旋转": ["xuan2", "zhuan3"],
+    "传达": ["chuan2", "da2"], "自传": ["zi4", "zhuan4"],
+    "藏族": ["zang4", "zu2"], "躲藏": ["duo3", "cang2"], "西藏": ["xi1", "zang4"],
+    "宝藏": ["bao3", "zang4"],
+    "可恶": ["ke3", "wu4"], "恶心": ["e3", "xin1"], "恶劣": ["e4", "lie4"],
+    "似的": ["shi4", "de5"], "相似": ["xiang1", "si4"], "似乎": ["si4", "hu1"],
+    "尽量": ["jin3", "liang4"], "尽管": ["jin3", "guan3"], "尽力": ["jin4", "li4"],
+    "用尽": ["yong4", "jin4"],
+    "系统": ["xi4", "tong3"], "关系": ["guan1", "xi5"], "系鞋带": ["ji4", "xie2", "dai4"],
+    "结实": ["jie1", "shi5"], "结果": ["jie2", "guo3"], "结束": ["jie2", "shu4"],
+    "打结": ["da3", "jie2"],
+    "铺路": ["pu1", "lu4"], "店铺": ["dian4", "pu4"],
+    "散步": ["san4", "bu4"], "散文": ["san3", "wen2"], "分散": ["fen1", "san4"],
+    "松散": ["song1", "san3"],
+    "兴趣": ["xing4", "qu4"], "高兴": ["gao1", "xing4"], "兴奋": ["xing1", "fen4"],
+    "兴起": ["xing1", "qi3"],
+    "行动": ["xing2", "dong4"], "举行": ["ju3", "xing2"], "一行": ["yi4", "hang2"],
+    "排行": ["pai2", "hang2"],
+    "倒车": ["dao4", "che1"], "倒退": ["dao4", "tui4"], "跌倒": ["die1", "dao3"],
+    "当时": ["dang1", "shi2"], "当然": ["dang1", "ran2"], "上当": ["shang4", "dang4"],
+    "当作": ["dang4", "zuo4"], "适当": ["shi4", "dang4"],
+})
+
+
+
+# third tier: top frequency-weighted gaps vs jieba dict (round 2 audit)
+_CHAR_DATA3 = """
+政zheng4 武wu3 二er4 治zhi4 委wei3 展zhan3 义yi4 社she4 基ji1 权quan2
+程cheng2 导dao3 府fu3 京jing1 规gui1 济ji4 党dang3 技ji4 职zhi2 兵bing1
+农nong2 联lian2 广guang3 质zhi4 阳yang2 专zhuan1 举ju3 线xian4 皇huang2
+考kao3 备bei4 具ju4 李li3 调diao4 革ge2 际ji4 单dan1 朝chao2 校xiao4
+器qi4 功gong1 属shu3 积ji1 究jiu1 参can1 帝di4 八ba1 复fu4 群qun2
+料liao4 划hua4 算suan4 势shi4 网wang3 源yuan2 派pai4 需xu1 律lv4
+况kuang4 境jing4 编bian1 服fu2 居ju1 除chu2 企qi3 引yin3 标biao1
+确que4 织zhi1 初chu1 志zhi4 项xiang4 察cha2 存cun2 甚shen4 击ji1
+防fang2 素su4 护hu4 副fu4 创chuang4 余yu2 占zhan4 试shi4 木mu4 左zuo3
+置zhi4 央yang1 采cai3 六liu4 宫gong1 批pi1 富fu4 乡xiang1 查cha2
+责ze2 严yan2 模mo2 席xi2 承cheng2 招zhao1 杨yang2 负fu4 供gong1
+续xu4 状zhuang4 域yu4 依yi1 范fan4 修xiu1 九jiu3 致zhi4 密mi4 旅lv3
+独du2 效xiao4 冲chong1 获huo4 习xi2 弹dan4 艺yi4 陆lu4 右you4 协xie2
+七qi1 攻gong1 镇zhen4 苏su1 注zhu4 阿a1 抗kang4 封feng1 劳lao2 户hu4
+优you1 财cai2 养yang3 适shi4 陈chen2 卫wei4 射she4 降jiang4 例li4
+景jing3 阶jie1 刘liu2 刚gang1 亿yi4 助zhu4 审shen3 监jian1 策ce4
+略lve4 限xian4 竟jing4 敌di2 差cha4 仍reng2 兰lan2 征zheng1 善shan4
+止zhi3 预yu4 继ji4 执zhi2 角jiao3 普pu3 益yi4 船chuan2 核he2 宣xuan1
+掌zhang3 著zhu4 辑ji2 免mian3 礼li3 材cai2 良liang2 临lin2 激ji1
+邦bang1 挥hui1 昌chang1 板ban3 胡hu2 简jian3 担dan1 句ju4 荆jing1
+娘niang2 守shou3 辖xia2 威wei1 宜yi2 帮bang1 块kuai4 堂tang2 额e2
+错cuo4 够gou4 阵zhen4 坚jian1 练lian4 吴wu2 宁ning2 换huan4 楚chu3
+典dian3 朱zhu1 毒du2 判pan4 救jiu4 宋song4 洪hong2 顺shun4 鲜xian1
+货huo4 端duan1 兄xiong1 归gui1 忙mang2 买mai3 险xian3 厂chang3 遗yi2
+笔bi3 松song1 渐jian4 训xun4 录lu4 否fou3 述shu4 督du1 控kong4
+丰feng1 献xian4 姑gu1 忽hu1 爷ye2 襄xiang1 伯bo2 臣chen2 雄xiong2
+鄂e4 召zhao4 祖zu3 短duan3 烈lie4 赶gan3 牌pai2 恩en1 础chu3 届jie4
+蒙meng2 喝he1 卖mai4 植zhi2 授shou4 博bo2 逐zhu2 庭ting2 陵ling2
+禁jin4 灵ling2 杂za2 泽ze2 侧ce4 庆qing4 追zhui1 甲jia3 馆guan3
+唐tang2 沿yan2 殿dian4 刺ci4 怪guai4 彩cai3 警jing3 索suo3 轮lun2
+妇fu4 附fu4 怀huai2 探tan4 旁pang2 罪zui4 迎ying2 序xu4 恶e4 顿dun4
+危wei1 稳wen3 概gai4 操cao1 诸zhu1 佛fo2 荣rong2 针zhen1 托tuo1 野ye3
+付fu4 库ku4 罢ba4 耳er3 屋wu1 嘴zui3 末mo4 谢xie4 巨ju4 培pei2 瓦wa3
+犯fan4 店dian4 拥yong1 圣sheng4 戏xi4 吉ji2 疑yi2 廷ting2 卡ka3
+析xi1 讨tao3 误wu4 仙xian1 疗liao2 亡wang2 闭bi4 伸shen1 脱tuo1
+繁fan2 侵qin1 川chuan1 莫mo4 麻ma2 秀xiu4 寻xun2 私si1 岗gang3
+驻zhu4 兼jian1 君jun1 丁ding1 束shu4 纸zhi3 袁yuan2 坏huai4 坦tan3
+径jing4 瞧qiao2 择ze2 墓mu4 宪xian4 遍bian4 鲁lu3 庙miao4 掉diao4
+桃tao2 御yu4 舰jian4 避bi4 售shou4 怒nu4 课ke4 播bo1 拔ba2 奥ao4
+延yan2 虚xu1 粮liang2 络luo4 遭zao1 摇yao2 庄zhuang1 混hun4 厅ting1
+婆po2 奴nu2 赵zhao4 访fang3 震zhen4 予yu3 童tong2 徐xu2 韦wei2
+殖zhi2 抓zhua1 拜bai4 扬yang2 址zhi3 洛luo4 逃tao2 纷fen1 贸mao4
+透tou4 灭mie4 仪yi2 塔ta3 距ju4 狐hu2 郡jun4 三san1 四si4 五wu3
+十shi2 百bai3 千qian1 万wan4 零ling2 两liang3 您nin2 吗ma5 呢ne5
+啊a5 版ban3 页ye4 软ruan3 件jian4 码ma3 盘pan2 键jian4 鼠shu3
+"""
+for _tok in _CHAR_DATA3.split():
+    CHAR_PINYIN.setdefault(_tok[0], _tok[1:])
+
+
+
+# fourth tier (round 2 audit continuation)
+_CHAR_DATA4 = """
+缓huan3 拍pai1 迹ji4 忠zhong1 释shi4 孔kong3 岭ling3 搜sou1 虑lv4 促cu4
+抵di3 塞sai1 寺si4 津jin1 坛tan2 珍zhen1 梁liang2 奔ben1 役yi4 偏pian1
+迫po4 凡fan2 壁bi4 哭ku1 替ti4 综zong1 伦lun2 盟meng2 乌wu1 尤you2
+秦qin2 尊zun1 竹zhu2 迅xun4 脉mai4 鬼gui3 纯chun2 睛jing1 刑xing2
+途tu2 隆long2 幅fu2 握wo4 谋mou2 剂ji4 幸xing4 奉feng4 乘cheng2
+谓wei4 频pin2 崇chong2 骑qi2 享xiang3 绍shao4 呈cheng2 泛fan4 械xie4
+欲yu4 敬jing4 措cuo4 爆bao4 暴bao4 签qian1 猛meng3 郭guo1 嘉jia1
+障zhang4 废fei4 搞gao3 胞bao1 曰yue1 撤che4 寒han2 订ding4 俗su2
+绩ji4 阻zu3 萨sa4 勒le4 忘wang4 奏zou4 孝xiao4 贴tie1 梅mei2 触chu4
+默mo4 醒xing3 莲lian2 柱zhu4 裁cai2 啦la5 捕bu3 纺fang3 截jie2
+朗lang3 誉yu4 雅ya3 忍ren3 梦meng4 伙huo3 峡xia2 徒tu2 尾wei3 迷mi2
+泉quan2 佳jia1 残can2 闪shan3 疾ji2 署shu3 剩sheng4 贼zei2 冠guan1
+倾qing1 豆dou4 申shen1 贫pin2 诺nuo4 麦mai4 镜jing4 涉she4 贡gong4
+爹die1 摩mo2 殊shu1 贝bei4 映ying4 甘gan1 岳yue4 饮yin3 奋fen4
+棉mian2 雕diao1 跃yue4 冒mao4 努nu3 赞zan4 启qi3 阁ge2 裂lie4
+患huan4 伏fu2 鹿lu4 洗xi3 劲jin4 晋jin4 倍bei4 锋feng1 胆dan3
+凭ping2 挑tiao1 闯chuang3 隔ge2 弄nong4 曹cao2 苗miao2 迁qian1
+叹tan4 唯wei2 振zhen4 贯guan4 彻che4 祭ji4 符fu2 僧seng1 旋xuan2
+黎li2 郎lang2 援yuan2 肥fei2 磁ci2 忌ji4 辽liao2 祥xiang2 董dong3
+仁ren2 辛xin1 询xun2 敏min3 貌mao4 毁hui3 巧qiao3 抽chou1 陷xian4
+焦jiao1 弃qi4 湘xiang1 宏hong2 番fan1 尸shi1 伟wei3 桂gui4 览lan3
+恢hui1 趣qu4 晶jing1 魏wei4 障zhang4 醉zui4 灾zai1 宗zong1 幼you4
+浅qian3 纯chun2 欣xin1 尝chang2 歇xie1 娃wa2 姨yi2 叔shu1 舅jiu4
+婶shen3 侄zhi2 甥sheng1 嫂sao3 畅chang4 络luo4 誓shi4
+"""
+for _tok in _CHAR_DATA4.split():
+    if _tok and '\u4e00' <= _tok[0] <= '\u9fff':
+        CHAR_PINYIN.setdefault(_tok[0], _tok[1:])
+
+
 def word_to_pinyin(word: str) -> list[str | None]:
     """Word -> per-character tone-numbered pinyin (None for unknown chars)."""
     if word in WORD_PINYIN:

@@ -21,6 +21,13 @@ def main():
     p.add_argument("--n-model", type=int, default=1,
                    help="model-parallel axis size of the device mesh")
     p.add_argument("--no-dur-disc", action="store_true")
+    p.add_argument("--slm-path", default="auto",
+                   help="WavLM weights dir for the SLM adversarial losses "
+                        "(train_ms.py:344-356); default resolves config.json "
+                        "model.slm.model")
+    p.add_argument("--no-slm", action="store_true",
+                   help="train WITHOUT the SLM/WavLM losses (diverges from "
+                        "reference v2.3 training)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() before anything else")
     args, _ = p.parse_known_args()
@@ -37,6 +44,7 @@ def main():
         args.model,
         use_dur_disc=not args.no_dur_disc,
         n_model=args.n_model,
+        slm_path=None if args.no_slm else args.slm_path,
     )
     trainer.run(
         epochs=args.epochs,

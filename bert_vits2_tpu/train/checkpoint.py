@@ -26,9 +26,15 @@ def _mgr(directory: str, keep: int | None):
 
 
 def save_train_state(directory: str, step: int, state, keep: int = 8) -> None:
-    """Save the full fused TrainState (all four nets + opts) at `step`."""
+    """Save the full fused TrainState (all four nets + opts) at `step`.
+
+    params_slm (frozen external WavLM weights) is dropped — it is an input
+    asset, not training state (the reference likewise never checkpoints the
+    frozen wavlm, train_ms.py:695-725)."""
     import orbax.checkpoint as ocp
 
+    if getattr(state, "params_slm", None) is not None:
+        state = state.replace(params_slm=None)
     with _mgr(directory, keep) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
         mgr.wait_until_finished()
@@ -42,9 +48,15 @@ def latest_step(directory: str) -> int | None:
 
 
 def restore_train_state(directory: str, state_template, step: int | None = None):
-    """Restore into the template's structure/shardings. Returns (state, step)."""
+    """Restore into the template's structure/shardings. Returns (state, step).
+
+    params_slm is never stored (see save_train_state): it is stripped from
+    the template for the restore and re-attached from the template after."""
     import orbax.checkpoint as ocp
 
+    params_slm = getattr(state_template, "params_slm", None)
+    if params_slm is not None:
+        state_template = state_template.replace(params_slm=None)
     with _mgr(directory, None) as mgr:
         step = step if step is not None else mgr.latest_step()
         if step is None:
@@ -52,6 +64,8 @@ def restore_train_state(directory: str, state_template, step: int | None = None)
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
+    if params_slm is not None:
+        restored = restored.replace(params_slm=params_slm)
     return restored, step
 
 

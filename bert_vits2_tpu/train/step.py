@@ -68,6 +68,30 @@ class TrainConfig:
     grad_clip_g: float = 500.0
     grad_clip_d: float = 200.0
     seed: int = 42
+    # config.json train.freeze_{ZH,EN,JP}_bert — reference stops gradients to
+    # the per-language BERT projections (train_ms.py:204-217); freeze_emo is
+    # honored for old-version emotion heads (written by webui_preprocess).
+    freeze_zh_bert: bool = False
+    freeze_en_bert: bool = False
+    freeze_jp_bert: bool = False
+    freeze_emo: bool = False
+
+    @property
+    def frozen_subtrees(self) -> tuple[tuple[str, ...], ...]:
+        """params_g subtree paths whose updates are zeroed."""
+        out = []
+        if self.freeze_zh_bert:
+            out.append(("enc_p", "bert_proj"))
+        if self.freeze_en_bert:
+            out.append(("enc_p", "en_bert_proj"))
+        if self.freeze_jp_bert:
+            out.append(("enc_p", "ja_bert_proj"))
+        if self.freeze_emo:
+            out.append(("enc_p", "emo_proj"))
+            out.append(("enc_p", "emo_quantizer"))
+            out.append(("enc_p", "in_feature_net"))
+            out.append(("enc_p", "out_feature_net"))
+        return tuple(out)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -80,6 +104,11 @@ class TrainState(flax.struct.PyTreeNode):
     opt_d: Any
     opt_dd: Any
     opt_wd: Any
+    # frozen WavLM weights for the SLM losses (reference keeps them inside
+    # WavLMLoss, losses.py:63-72). Threaded through the state — NOT closed
+    # over — so the jitted step's HLO doesn't embed ~380 MB of constants.
+    # No optimizer; excluded from gradients by construction.
+    params_slm: Any = None
 
 
 class Models(NamedTuple):
@@ -89,7 +118,20 @@ class Models(NamedTuple):
     wavlm_disc: Any  # WavLMDiscriminator | None
 
 
-def make_optimizer(cfg: TrainConfig, clip: float | None) -> optax.GradientTransformation:
+def _freeze_mask(tree, frozen: tuple[tuple[str, ...], ...]):
+    """Bool pytree: True for leaves under any frozen subtree path."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(tree)
+    mask = {k: any(k[: len(p)] == p for p in frozen) for k in flat}
+    return tu.unflatten_dict(mask)
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    clip: float | None,
+    frozen: tuple[tuple[str, ...], ...] = (),
+) -> optax.GradientTransformation:
     chain = []
     if cfg.bf16_run and clip is not None:
         chain.append(optax.clip_by_global_norm(clip))
@@ -102,6 +144,13 @@ def make_optimizer(cfg: TrainConfig, clip: float | None) -> optax.GradientTransf
             weight_decay=0.01,
         )
     )
+    if frozen:
+        # zero the final update for frozen leaves (reference excludes them
+        # from the optimizer via requires_grad, train_ms.py:204-217); keeps
+        # optimizer-state shapes identical whether or not anything is frozen
+        chain.append(
+            optax.masked(optax.set_to_zero(), lambda t: _freeze_mask(t, frozen))
+        )
     return optax.chain(*chain)
 
 
@@ -112,8 +161,9 @@ def init_train_state(
     params_d,
     params_dd,
     params_wd,
+    params_slm=None,
 ) -> TrainState:
-    tx_g = make_optimizer(cfg, cfg.grad_clip_g)
+    tx_g = make_optimizer(cfg, cfg.grad_clip_g, cfg.frozen_subtrees)
     tx_d = make_optimizer(cfg, cfg.grad_clip_d)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -125,6 +175,7 @@ def init_train_state(
         opt_d=tx_d.init(params_d),
         opt_dd=tx_d.init(params_dd) if params_dd is not None else None,
         opt_wd=tx_d.init(params_wd) if params_wd is not None else None,
+        params_slm=params_slm,
     )
 
 
@@ -149,13 +200,14 @@ def make_train_step(
     batch keys: x, x_lengths, spec [b,t,spec_ch], spec_lengths, wave [b,t_samp],
     sid, tone, language, bert, ja_bert, en_bert.
 
-    slm_embed: frozen fn wave[b, t_samples]@44.1k -> stacked SLM hidden states
-    [b, t', layers*hidden] for the WavLM discriminator (losses.py:63-153);
-    slm_feature_fn: same but returning the per-layer list for the L1 feature
-    loss. Both None disables SLM losses.
+    slm_embed: frozen fn (params_slm, wave[b, t_samples]@44.1k) -> stacked SLM
+    hidden states [b, t', layers*hidden] for the WavLM discriminator
+    (losses.py:63-153); slm_feature_fn: same but returning the per-layer list
+    for the L1 feature loss. Both None disables SLM losses. The WavLM weights
+    ride in state.params_slm (see TrainState) — pass them to init_train_state.
     """
     synth, mpd, dur_disc, wavlm_disc = models
-    tx_g = make_optimizer(train_cfg, train_cfg.grad_clip_g)
+    tx_g = make_optimizer(train_cfg, train_cfg.grad_clip_g, train_cfg.frozen_subtrees)
     tx_d = make_optimizer(train_cfg, train_cfg.grad_clip_d)
     hop = data_cfg.hop_length
     seg_frames = segment_size_frames
@@ -268,8 +320,8 @@ def make_train_step(
 
         # ---- 2c. SLM discriminator update (train_ms.py:558-568) ----
         if wavlm_disc is not None and slm_embed is not None:
-            emb_real = sg(slm_embed(y_slice))
-            emb_fake = sg(slm_embed(y_hat))
+            emb_real = sg(slm_embed(state.params_slm, y_slice))
+            emb_fake = sg(slm_embed(state.params_slm, y_hat))
 
             def wd_loss_fn(params_wd):
                 d_r = wavlm_disc.apply({"params": params_wd}, emb_real)
@@ -342,16 +394,19 @@ def make_train_step(
                 aux["loss/g/dur_gen"] = loss_dur_gen
 
             if wavlm_disc is not None and slm_embed is not None:
+                p_slm = sg(state.params_slm)
                 if slm_feature_fn is not None:
-                    feats_r = slm_feature_fn(sg(ys))
-                    feats_g = slm_feature_fn(yh)
+                    feats_r = slm_feature_fn(p_slm, sg(ys))
+                    feats_g = slm_feature_fn(p_slm, yh)
                     loss_lm = sum(
                         jnp.mean(jnp.abs(sg(fr) - fg))
                         for fr, fg in zip(feats_r, feats_g)
                     )
                 else:
                     loss_lm = 0.0
-                d_g = wavlm_disc.apply({"params": params_wd}, slm_embed(yh))
+                d_g = wavlm_disc.apply(
+                    {"params": params_wd}, slm_embed(p_slm, yh)
+                )
                 loss_lm_gen = jnp.mean((1.0 - d_g.astype(jnp.float32)) ** 2)
                 loss_all = loss_all + loss_lm + loss_lm_gen
                 aux["loss/g/lm"] = loss_lm

@@ -64,6 +64,10 @@ def train_config_from_hparams(hps: HParams) -> TrainConfig:
         c_kl=t.get("c_kl", 1.0),
         bf16_run=t.get("bf16_run", False),
         seed=t.get("seed", 1234),
+        freeze_zh_bert=t.get("freeze_ZH_bert", False),
+        freeze_en_bert=t.get("freeze_EN_bert", False),
+        freeze_jp_bert=t.get("freeze_JP_bert", False),
+        freeze_emo=t.get("freeze_emo", False),
     )
 
 
@@ -98,8 +102,13 @@ def build_models(
     return Models(synth, mpd, dd, wd)
 
 
-def init_params(models: Models, mcfg: ModelConfig, seed: int = 1234):
-    """Initialize all four parameter trees with a tiny dummy batch."""
+def init_params(models: Models, mcfg: ModelConfig, seed: int = 1234,
+                slm_embed=None):
+    """Initialize all four parameter trees with a tiny dummy batch.
+
+    slm_embed (when the SLM branch is on) pins the WavLM discriminator's
+    input channels to the actual embed output rather than the config's
+    slm_hidden*slm_layers, so tiny test WavLMs initialize consistently."""
     synth, mpd, dd, wd = models
     b, t_x = 1, 8
     t_y = max(mcfg.segment_size + 4, 16)
@@ -136,10 +145,16 @@ def init_params(models: Models, mcfg: ModelConfig, seed: int = 1234):
         )["params"]
     params_wd = None
     if wd is not None:
-        params_wd = wd.init(
-            jax.random.key(seed + 5),
-            jnp.zeros((b, 16, mcfg.slm_hidden * mcfg.slm_layers), jnp.float32),
-        )["params"]
+        if slm_embed is not None:
+            emb0 = slm_embed(
+                getattr(slm_embed, "params", None),
+                jnp.zeros((1, mcfg.segment_samples), jnp.float32),
+            )
+        else:
+            emb0 = jnp.zeros(
+                (b, 16, mcfg.slm_hidden * mcfg.slm_layers), jnp.float32
+            )
+        params_wd = wd.init(jax.random.key(seed + 5), emb0)["params"]
     return params_g, params_d, params_dd, params_wd
 
 
@@ -161,15 +176,36 @@ class Trainer:
         slm_feature_fn=None,
         n_model: int = 1,
         models: Models | None = None,
-        slm_path: str | None = None,
+        slm_path: str | None = "auto",
     ):
+        self.hps = get_hparams_from_file(config_path)
+        if slm_path == "auto":
+            # v2.3 trains with the SLM losses UNCONDITIONALLY
+            # (train_ms.py:220-222, 344-356): resolve config.json
+            # model.slm.model; a declared-but-missing weights dir is a hard
+            # error (not a silent no-SLM run) unless slm_path=None.
+            slm_path = None
+            declared = self.hps.model.get("slm", None)
+            if declared is not None and slm_embed is None:
+                cand = declared.get("model", "./slm/wavlm-base-plus")
+                if os.path.isdir(cand):
+                    slm_path = cand
+                else:
+                    raise FileNotFoundError(
+                        f"config declares model.slm.model={cand!r} but no WavLM "
+                        "weights found there. Fetch them with `python -m "
+                        "bert_vits2_tpu.tools.fetch_assets --slm` (see "
+                        "docs/WEIGHTS.md), pass slm_path=<dir>, or disable the "
+                        "SLM losses explicitly with --no-slm / slm_path=None."
+                    )
         if slm_path is not None and slm_embed is None:
             from bert_vits2_tpu.models.slm import load_wavlm, make_slm_fns
 
             wl_params, wl_cfg = load_wavlm(slm_path)
             slm_embed, slm_feature_fn = make_slm_fns(wl_params, wl_cfg)
             use_wavlm_disc = True
-        self.hps = get_hparams_from_file(config_path)
+        if slm_embed is not None:
+            use_wavlm_disc = True
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
         self.logger = get_logger(model_dir)
@@ -188,6 +224,9 @@ class Trainer:
         self.models = models or build_models(self.mcfg, use_dur_disc, use_wavlm_disc)
         self.slm_embed = slm_embed
         self.slm_feature_fn = slm_feature_fn
+        # frozen WavLM weights ride in TrainState.params_slm (runtime input,
+        # not an HLO constant — see train/step.py TrainState)
+        self.slm_params = getattr(slm_embed, "params", None)
 
         # the data axis must divide the global batch (batch_size per host);
         # gcd keeps tiny test batches working on big virtual meshes
@@ -243,11 +282,15 @@ class Trainer:
         )
 
         # state
-        params = init_params(self.models, self.mcfg, self.tcfg.seed)
+        params = init_params(
+            self.models, self.mcfg, self.tcfg.seed, slm_embed=self.slm_embed
+        )
         self.global_step = 0
         ck_dir = self.ckpt_dir = os.path.join(model_dir, "ckpt")
         step = ckpt.latest_step(ck_dir)
-        state = init_train_state(self.models, self.tcfg, *params)
+        state = init_train_state(
+            self.models, self.tcfg, *params, params_slm=self.slm_params
+        )
         if step is not None:
             state, step = ckpt.restore_train_state(ck_dir, state, step)
             self.global_step = int(step)
@@ -258,7 +301,10 @@ class Trainer:
             )
             if it:
                 self.logger.info("bootstrapped from reference checkpoints (iter %d)", it)
-            state = init_train_state(self.models, self.tcfg, pg, pd, pdd, pwd)
+            state = init_train_state(
+                self.models, self.tcfg, pg, pd, pdd, pwd,
+                params_slm=self.slm_params,
+            )
         self.state = replicate(self.mesh, state)
         self.start_epoch = self.global_step // max(len(self.sampler), 1)
 
@@ -358,6 +404,18 @@ class Trainer:
         keep_ckpts = keep_ckpts or 8
         rng = jax.random.key(self.tcfg.seed)
         timer = StepTimer()
+        # preemption handling: TPU VMs get SIGTERM ahead of eviction; save a
+        # resumable checkpoint at the next step boundary and exit cleanly
+        # (the reference's only recovery story is resume-from-latest).
+        stop = {"flag": False}
+
+        def _on_term(signum, frame):  # noqa: ARG001
+            stop["flag"] = True
+
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not on the main thread (tests)
+            prev_term = None
         # audio seconds consumed per step (decoder sees segment slices)
         seg_audio_s = (
             self.hps.train.batch_size
@@ -401,12 +459,25 @@ class Trainer:
                     if self.is_lead:
                         self.evaluate()
                     self.save(keep_ckpts)
+                if stop["flag"]:
+                    self.logger.info("SIGTERM: saving preemption checkpoint")
+                    self.save(keep_ckpts)
+                    if prev_term is not None:
+                        signal.signal(signal.SIGTERM, prev_term)
+                    return
                 if max_steps is not None and self.global_step >= max_steps:
                     self.save(keep_ckpts)
+                    if prev_term is not None:
+                        signal.signal(signal.SIGTERM, prev_term)
                     return
 
     def save(self, keep: int = 8):
-        state = jax.tree.map(np.asarray, self.state)
+        # strip the frozen WavLM BEFORE the device->host pull: it is an
+        # external asset, not state, and 380 MB over the axon tunnel is slow
+        state = self.state
+        if state.params_slm is not None:
+            state = state.replace(params_slm=None)
+        state = jax.tree.map(np.asarray, state)
         ckpt.save_train_state(self.ckpt_dir, self.global_step, state, keep=keep)
         self.logger.info("saved checkpoint at step %d", self.global_step)
 

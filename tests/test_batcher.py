@@ -38,6 +38,12 @@ class FakeEngine:
                 return b
         return t
 
+    def group_key(self, req):
+        emo_kind = (
+            None if req.emo is None else (req.emo.dtype.str, req.emo.shape[1:])
+        )
+        return (self._bucket(len(req.inputs[0])), emo_kind)
+
     def prepare(self, text, speaker, language="ZH", segments=None, **kw):
         n = len(text or "".join(s for s, _ in segments))
         knobs = {
@@ -104,6 +110,22 @@ class TestMicroBatcher:
             mb.submit([_req(8), _req(50), _req(8), _req(50)])
             for call in eng.calls:
                 assert len({eng._bucket(len(r.inputs[0])) for r in call}) == 1
+        finally:
+            mb.close()
+
+    def test_mixed_emo_kinds_not_merged(self):
+        """V2.1 engines take either a [1] int32 codebook index or a [1,1024]
+        float vector (infer/api.py _resolve_emotion); those are different jit
+        graphs and must never ride one batch."""
+        eng = FakeEngine()
+        mb = MicroBatcher(eng, max_batch=16, max_delay_s=0.02)
+        try:
+            idx = _req(8)._replace(emo=np.zeros(1, np.int32))
+            vec = _req(8)._replace(emo=np.zeros((1, 1024), np.float32))
+            mb.submit([idx, vec, idx, vec])
+            assert len(eng.calls) >= 2
+            for call in eng.calls:
+                assert len({eng.group_key(r) for r in call}) == 1
         finally:
             mb.close()
 

@@ -91,6 +91,20 @@ class TestRegistry:
         assert b in reg and a not in reg
         assert reg.del_model(a) is None
 
+    def test_release_reports_remaining_refs_atomically(self, tmp_path):
+        ckpt = tmp_path / "G_100.pth"
+        ckpt.write_bytes(b"x")
+        cfg = tmp_path / "config.json"
+        cfg.write_text("{}")
+        reg = ModelRegistry(loader=lambda mp, cp: object())
+        a = reg.init_model(str(ckpt), str(cfg))
+        b = reg.init_model(str(ckpt), str(cfg))
+        eng, still = reg.release(a)
+        assert eng is reg.get(b) and still
+        eng2, still2 = reg.release(b)
+        assert eng2 is eng and not still2
+        assert reg.release(b) == (None, False)
+
 
 @pytest.fixture(scope="module")
 def http_server():

@@ -116,11 +116,12 @@ class TestSLMTrainStep:
         )["params"]
         wav = batch["wave"][:, : TINY.segment_samples]
         params_d = mpd.init(jax.random.key(3), wav, wav)["params"]
-        emb = slm_embed(wav)
+        emb = slm_embed(slm_embed.params, wav)
         params_wd = wd.init(jax.random.key(4), emb)["params"]
 
         cfg = TrainConfig(learning_rate=1e-4)
-        state = init_train_state(models, cfg, params_g, params_d, None, params_wd)
+        state = init_train_state(models, cfg, params_g, params_d, None,
+                                 params_wd, params_slm=slm_embed.params)
         step = make_train_step(
             models, cfg, TINY_DATA, TINY.segment_size,
             slm_embed=slm_embed, slm_feature_fn=slm_feature_fn, donate=False,

@@ -150,3 +150,34 @@ class TestModelTools:
         np.testing.assert_array_equal(
             m["enc_p"]["emb"]["embedding"], b["enc_p"]["emb"]["embedding"]
         )
+
+
+class TestFetchAssets:
+    def test_check_and_report(self, tmp_path, capsys):
+        from bert_vits2_tpu.tools.fetch_assets import check_asset, run
+
+        # empty root: everything missing, exit 1
+        assert run(str(tmp_path), ["slm"], fetch=False) == 1
+        out = capsys.readouterr().out
+        assert "wavlm-base-plus" in out and "MISS" in out
+
+        # a populated asset passes
+        d = tmp_path / "slm" / "wavlm-base-plus"
+        d.mkdir(parents=True)
+        (d / "config.json").write_text("{}")
+        (d / "model.safetensors").write_bytes(b"\0")
+        ok, status = check_asset(str(tmp_path), "slm/wavlm-base-plus")
+        assert ok, status
+        assert run(str(tmp_path), ["slm"], fetch=False) == 0
+
+    def test_missing_extra_file_detected(self, tmp_path):
+        from bert_vits2_tpu.tools.fetch_assets import check_asset
+
+        d = tmp_path / "bert" / "deberta-v3-large"
+        d.mkdir(parents=True)
+        (d / "config.json").write_text("{}")
+        (d / "pytorch_model.bin").write_bytes(b"\0")
+        ok, status = check_asset(
+            str(tmp_path), "bert/deberta-v3-large", ("spm.model",)
+        )
+        assert not ok and "spm.model" in status

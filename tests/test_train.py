@@ -200,3 +200,32 @@ class TestBf16TrainStep:
                        ("loss/g/kl", 0.35)]:
             a, b = float(m1[k]), float(m32[k])
             assert abs(a - b) / (abs(b) + 1e-3) < tol, (k, a, b)
+
+
+class TestFreezeFlags:
+    """config.json train.freeze_{ZH,EN,JP}_bert stop updates to the per-
+    language BERT projections (reference train_ms.py:204-217)."""
+
+    def test_frozen_subtrees_do_not_move(self, setup):
+        models, state, _, batch = setup
+        cfg = TrainConfig(
+            learning_rate=1e-4, freeze_zh_bert=True, freeze_jp_bert=True
+        )
+        state_f = init_train_state(
+            models, cfg, state.params_g, state.params_d, state.params_dd, None
+        )
+        step = make_train_step(models, cfg, TINY_DATA, TINY.segment_size,
+                               donate=False)
+        s1, _ = step(state_f, batch, jax.random.key(10), jnp.float32(1e-4))
+        for name in ("bert_proj", "ja_bert_proj"):
+            before = state.params_g["enc_p"][name]
+            after = s1.params_g["enc_p"][name]
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the un-frozen EN projection still trains
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params_g["enc_p"]["en_bert_proj"],
+            s1.params_g["enc_p"]["en_bert_proj"],
+        )
+        assert max(jax.tree.leaves(moved)) > 0

@@ -166,3 +166,66 @@ class TestTrainer:
         model_dir = str(tmp_path / "run2")
         trainer = Trainer(cfg_path, model_dir, models=_tiny_models(mcfg))
         trainer.evaluate(max_items=1, max_frames=128)
+
+
+class TestTrainerSLM:
+    """v2.3 trains with the SLM/WavLM losses unconditionally
+    (train_ms.py:344-356); the Trainer resolves config.json model.slm."""
+
+    def test_declared_slm_with_missing_weights_raises(self, corpus, tmp_path):
+        root, cfg_path = corpus
+        cfg = json.loads(open(cfg_path, encoding="utf-8").read())
+        cfg["model"]["slm"] = dict(
+            model=str(root / "no-such-wavlm"), sr=16000,
+            hidden=768, nlayers=13, initial_channel=64,
+        )
+        cfg_slm = root / "config_slm.json"
+        cfg_slm.write_text(json.dumps(cfg), encoding="utf-8")
+        with pytest.raises(FileNotFoundError, match="slm"):
+            from bert_vits2_tpu.train.trainer import Trainer
+
+            Trainer(str(cfg_slm), str(tmp_path / "runX"))
+
+    def test_trainer_step_with_tiny_slm(self, corpus, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from bert_vits2_tpu.compat.hparams import (
+            get_hparams_from_file,
+            model_config_from_hparams,
+        )
+        from bert_vits2_tpu.models import WavLMDiscriminator
+        from bert_vits2_tpu.models.slm import (
+            WavLMConfig,
+            WavLMJax,
+            make_slm_fns,
+        )
+        from bert_vits2_tpu.train import Models
+        from bert_vits2_tpu.train.trainer import Trainer
+
+        root, cfg_path = corpus
+        mcfg = model_config_from_hparams(get_hparams_from_file(cfg_path))
+        wl_cfg = WavLMConfig(
+            hidden_size=16, num_layers=2, num_heads=2, intermediate_size=32,
+            conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=32, max_bucket_distance=50,
+        )
+        wl = WavLMJax(wl_cfg)
+        seg = mcfg.segment_samples
+        wl_params = wl.init(jax.random.key(9), jnp.zeros((1, seg)))["params"]
+        slm_embed, slm_feature_fn = make_slm_fns(
+            wl_params, wl_cfg, input_sr=SR, model_sr=SR
+        )
+        base = _tiny_models(mcfg)
+        models = Models(
+            base.synthesizer, base.mpd, base.dur_disc,
+            WavLMDiscriminator(slm_hidden=16, slm_layers=3, initial_channel=8),
+        )
+        trainer = Trainer(
+            cfg_path, str(tmp_path / "slm_run"), models=models,
+            slm_embed=slm_embed, slm_feature_fn=slm_feature_fn,
+        )
+        assert trainer.state.params_wd is not None
+        trainer.run(epochs=10, max_steps=1, log_interval=1, eval_interval=1000)
+        assert trainer.global_step == 1
