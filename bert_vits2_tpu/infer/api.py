@@ -231,6 +231,44 @@ class TTSEngine:
 
     # ---- public API ----
 
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1, 4, 16),
+        buckets: Sequence[int] | None = None,
+        length_scale: float = 1.0,
+    ) -> int:
+        """Pre-compile the (batch, bucket, frame-cap) grid a server expects,
+        so the first live request never pays a multi-second XLA compile.
+        Returns the number of graphs compiled. Serving pads batches to
+        powers of two (run_prepared), so a handful of sizes covers all
+        arrival counts."""
+        import jax
+        import jax.numpy as jnp
+
+        buckets = list(buckets or self.text_buckets)
+        n = 0
+        for t_x in buckets:
+            mf = self._frame_cap(t_x, length_scale)
+            fn = self._synth_fn(t_x, mf)
+            for b in batch_sizes:
+                zeros_i = jnp.zeros((b, t_x), jnp.int32)
+                bert = jnp.zeros((b, t_x, self.model.cfg.bert_dim), jnp.float32)
+                emo = None
+                if self.model.cfg.emotion == "vq210":
+                    emo = jnp.zeros((b,), jnp.int32)
+                elif self.model.cfg.emotion == "clap220":
+                    emo = jnp.zeros((b, 512), jnp.float32)
+                knob = jnp.full((b,), 0.5, jnp.float32)
+                out = fn(
+                    self.params, zeros_i, jnp.full((b,), t_x, jnp.int32),
+                    jnp.zeros((b,), jnp.int32), zeros_i, zeros_i,
+                    bert, bert, bert, emo, knob, knob, knob, knob,
+                    jax.random.key(0),
+                )
+                jax.block_until_ready(out)
+                n += 1
+        return n
+
     def resolve_speaker(self, speaker) -> int:
         if isinstance(speaker, str):
             return int(self.spk2id[speaker])

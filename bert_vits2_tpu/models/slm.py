@@ -130,6 +130,29 @@ class WavLMAttention(nn.Module):
         return nn.Dense(h, name="out_proj")(ctx), position_bias
 
 
+class _EncoderLayer(nn.Module):
+    """One post-LN WavLM encoder layer (layers 1..N-1; no bias embed).
+
+    Scan-compatible: (carry=x, broadcast position_bias) -> (x, x)."""
+
+    cfg: WavLMConfig
+
+    @nn.compact
+    def __call__(self, x, position_bias):
+        cfg = self.cfg
+        attn, _ = WavLMAttention(
+            cfg, has_relative_position_bias=False, name="attention"
+        )(x, position_bias)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x + attn)
+        ff = nn.Dense(cfg.intermediate_size, name="intermediate")(x)
+        ff = jax.nn.gelu(ff, approximate=False)
+        ff = nn.Dense(cfg.hidden_size, name="output")(ff)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="final_norm"
+        )(x + ff)
+        return x, x
+
+
 class WavLMJax(nn.Module):
     """Frozen WavLM feature model. wave [b, t]@16k -> list of 13 hidden
     states [b, t', 768] (HF layout: index 0 = pre-layer-0 states)."""
@@ -176,26 +199,35 @@ class WavLMJax(nn.Module):
         x = x + jax.nn.gelu(pos, approximate=False)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_norm")(x)
 
+        # layer 0 owns the relative-position bias embed; layers 1..N-1 share
+        # one structure and run under lax.scan with stacked params — this
+        # shrinks the (fwd+bwd) HLO by ~(num_layers-1)x, which matters
+        # because the whole frozen WavLM rides inside the fused train step
         hidden_states = [x]
-        position_bias = None
-        for i in range(cfg.num_layers):
-            attn, position_bias = WavLMAttention(
-                cfg,
-                has_relative_position_bias=(i == 0),
-                name=f"layer_{i}_attention",
-            )(x, position_bias)
-            x = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, name=f"layer_{i}_norm"
-            )(x + attn)
-            ff = nn.Dense(
-                cfg.intermediate_size, name=f"layer_{i}_intermediate"
-            )(x)
-            ff = jax.nn.gelu(ff, approximate=False)
-            ff = nn.Dense(cfg.hidden_size, name=f"layer_{i}_output")(ff)
-            x = nn.LayerNorm(
-                epsilon=cfg.layer_norm_eps, name=f"layer_{i}_final_norm"
-            )(x + ff)
-            hidden_states.append(x)
+        attn, position_bias = WavLMAttention(
+            cfg, has_relative_position_bias=True, name="layer_0_attention"
+        )(x, None)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="layer_0_norm"
+        )(x + attn)
+        ff = nn.Dense(cfg.intermediate_size, name="layer_0_intermediate")(x)
+        ff = jax.nn.gelu(ff, approximate=False)
+        ff = nn.Dense(cfg.hidden_size, name="layer_0_output")(ff)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="layer_0_final_norm"
+        )(x + ff)
+        hidden_states.append(x)
+
+        if cfg.num_layers > 1:
+            ScanLayers = nn.scan(
+                _EncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=cfg.num_layers - 1,
+            )
+            x, ys = ScanLayers(cfg, name="layers")(x, position_bias)
+            hidden_states.extend(ys[i] for i in range(cfg.num_layers - 1))
         return hidden_states
 
 
@@ -257,7 +289,7 @@ def import_torch_wavlm(state_dict: dict, cfg: WavLMConfig) -> dict:
         "scale": sd["encoder.layer_norm.weight"],
         "bias": sd["encoder.layer_norm.bias"],
     }
-    for i in range(cfg.num_layers):
+    def layer_params(i: int) -> dict:
         L = f"encoder.layers.{i}."
         att = {
             name: {
@@ -275,23 +307,33 @@ def import_torch_wavlm(state_dict: dict, cfg: WavLMConfig) -> dict:
             att["rel_attn_embed"] = {
                 "embedding": sd[L + "attention.rel_attn_embed.weight"]
             }
-        p[f"layer_{i}_attention"] = att
-        p[f"layer_{i}_norm"] = {
-            "scale": sd[L + "layer_norm.weight"],
-            "bias": sd[L + "layer_norm.bias"],
+        return {
+            "attention": att,
+            "norm": {
+                "scale": sd[L + "layer_norm.weight"],
+                "bias": sd[L + "layer_norm.bias"],
+            },
+            "intermediate": {
+                "kernel": sd[L + "feed_forward.intermediate_dense.weight"].T,
+                "bias": sd[L + "feed_forward.intermediate_dense.bias"],
+            },
+            "output": {
+                "kernel": sd[L + "feed_forward.output_dense.weight"].T,
+                "bias": sd[L + "feed_forward.output_dense.bias"],
+            },
+            "final_norm": {
+                "scale": sd[L + "final_layer_norm.weight"],
+                "bias": sd[L + "final_layer_norm.bias"],
+            },
         }
-        p[f"layer_{i}_intermediate"] = {
-            "kernel": sd[L + "feed_forward.intermediate_dense.weight"].T,
-            "bias": sd[L + "feed_forward.intermediate_dense.bias"],
-        }
-        p[f"layer_{i}_output"] = {
-            "kernel": sd[L + "feed_forward.output_dense.weight"].T,
-            "bias": sd[L + "feed_forward.output_dense.bias"],
-        }
-        p[f"layer_{i}_final_norm"] = {
-            "scale": sd[L + "final_layer_norm.weight"],
-            "bias": sd[L + "final_layer_norm.bias"],
-        }
+
+    l0 = layer_params(0)
+    for sub, tree in l0.items():
+        p[f"layer_0_{sub}"] = tree
+    # layers 1..N-1 run under nn.scan: params stacked on a leading axis
+    if cfg.num_layers > 1:
+        rest = [layer_params(i) for i in range(1, cfg.num_layers)]
+        p["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *rest)
     return p
 
 

@@ -478,6 +478,11 @@ def main():
         "--batch-delay-ms", type=float, default=10.0,
         help="max wait for batch co-riders before flushing a device call",
     )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile the expected (batch, text-bucket) grid at model "
+             "load so first requests skip XLA compiles",
+    )
     args = ap.parse_args()
 
     from bert_vits2_tpu.infer.loader import load_tts_engine
@@ -487,7 +492,12 @@ def main():
     )
     for pair in args.model:
         mp, _, cp = pair.partition(":")
-        registry.init_model(mp, cp or os.path.join(os.path.dirname(mp), "config.json"))
+        mid = registry.init_model(
+            mp, cp or os.path.join(os.path.dirname(mp), "config.json")
+        )
+        if args.warmup:
+            n = registry.get(mid).warmup()
+            print(f"model {mid}: warmed {n} graphs")
     srv = make_server(
         registry, args.host, args.port, args.models_dir,
         batching=not args.no_batching, max_batch=args.max_batch,

@@ -163,3 +163,30 @@ class TestBatchedInfer:
         a = engine.run_prepared([req])[0]
         b = engine.infer_multilang(segs, speaker=0, **kw)
         np.testing.assert_array_equal(a, b)
+
+
+class TestServeBatching:
+    def test_run_prepared_pads_batch_to_power_of_two(self, engine):
+        """3 requests ride an internally padded batch of 4; exactly 3 waves
+        come back, matching the 1-request result per row."""
+        reqs = [engine.prepare("テスト。", speaker=0, language="JP", seed=5)
+                for _ in range(3)]
+        waves = engine.run_prepared(reqs)
+        assert len(waves) == 3
+
+    def test_mixed_emo_kinds_rejected(self, engine):
+        import numpy as np
+
+        a = engine.prepare("テスト。", speaker=0, language="JP")
+        b = a._replace(emo=np.zeros((1, 1024), np.float32))
+        c = a._replace(emo=np.zeros(1, np.int32))
+        with pytest.raises(ValueError, match="emotion input kinds"):
+            engine.run_prepared([b, c])
+
+    def test_warmup_compiles_grid(self, engine):
+        n = engine.warmup(batch_sizes=(1,), buckets=(32,))
+        assert n == 1
+        # warmed graph is reused by a real request
+        before = len(engine._jitted)
+        engine.infer("テスト。", speaker=0, language="JP")
+        assert len(engine._jitted) == before

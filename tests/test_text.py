@@ -214,3 +214,35 @@ class TestJapanese:
         assert phones == ["_", "s", "a", "n", "n", "i", "n", "_"]
         _, phones, _, _ = clean_text("100円", "JP")
         assert phones[-3:] == ["e", "n", "_"]
+
+
+class TestJaFallbackInternals:
+    def test_mora_split(self):
+        from bert_vits2_tpu.text.ja_fallback import mora_split
+
+        assert mora_split("トーキョー") == ["ト", "ー", "キョ", "ー"]
+        assert mora_split("ガッコー") == ["ガ", "ッ", "コ", "ー"]
+        assert mora_split("シンブン") == ["シ", "ン", "ブ", "ン"]
+
+    def test_accent_pitches(self):
+        from bert_vits2_tpu.text.ja_fallback import accent_pitches
+
+        assert accent_pitches(4, 0) == [0, 1, 1, 1]   # heiban
+        assert accent_pitches(4, 1) == [1, 0, 0, 0]   # atamadaka
+        assert accent_pitches(4, 2) == [0, 1, 0, 0]   # nakadaka
+        assert accent_pitches(3, 3) == [0, 1, 1]      # odaka
+
+    def test_particle_heuristic(self):
+        from bert_vits2_tpu.text.ja_fallback import segment
+
+        segs = segment("私は")
+        assert segs[-1][1] == "ワ"  # particle reading
+        segs = segment("は")  # sentence-initial は is not the particle
+        assert segs[0][1] == "ハ"
+
+    def test_kanji_oov_single_char_readings(self):
+        from bert_vits2_tpu.text.ja_fallback import segment
+
+        # 鳥 is in the kanji table (トリ) even when no word matches
+        segs = segment("鳥")
+        assert segs[0][1] == "トリ"
