@@ -97,10 +97,10 @@ class StochasticDurationPredictor(nn.Module):
         return self.proj(x) * x_mask[..., None]
 
     def __call__(self, x, x_mask, w=None, g=None, reverse=False, noise_scale=1.0,
-                 deterministic=True):
+                 deterministic=True, z_in=None):
         if reverse:
             return self.reverse(x, x_mask, g=g, noise_scale=noise_scale,
-                                deterministic=deterministic)
+                                deterministic=deterministic, z_in=z_in)
         return self.nll(x, x_mask, w, g=g, deterministic=deterministic)
 
     def nll(self, x, x_mask, w, g=None, deterministic=True):
@@ -146,17 +146,26 @@ class StochasticDurationPredictor(nn.Module):
         nll = jnp.sum(0.5 * (_LOG_2PI + z**2) * mask, axis=(1, 2)) - logdet_tot
         return nll + logq
 
-    def reverse(self, x, x_mask, g=None, noise_scale=1.0, deterministic=True):
+    def reverse(self, x, x_mask, g=None, noise_scale=1.0, deterministic=True,
+                z_in=None):
         """Sample log-durations [b, t, 1]. Ref: models.py:241-256.
 
         The reversed chain drops the first ConvFlow ('useless vflow'):
         flip, CF3^-1, flip, CF2^-1, flip, CF1^-1, flip, EA^-1.
+
+        z_in: optional pre-scaled noise [b, t, 2] supplied by the caller
+        (the ONNX export convention, onnx_modules/V230/models_onnx.py:1003:
+        `zin` is an explicit graph input so the exported stage is a pure
+        function). When given, noise_scale is ignored.
         """
         mask = x_mask[..., None]
         x = self._condition(x, x_mask, g, deterministic)
-        z = jax.random.normal(
-            self.make_rng("noise"), (x.shape[0], x.shape[1], 2), x.dtype
-        ) * noise_scale
+        if z_in is not None:
+            z = z_in.astype(x.dtype)
+        else:
+            z = jax.random.normal(
+                self.make_rng("noise"), (x.shape[0], x.shape[1], 2), x.dtype
+            ) * noise_scale
         for f in reversed(self.flows[1:]):
             z = flip(z)
             z = f(z, x_mask, g=x, reverse=True, deterministic=deterministic)

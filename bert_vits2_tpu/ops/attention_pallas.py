@@ -127,5 +127,27 @@ def banded_rel_self_attention(q, k, v, x_mask, emb_rel_k, emb_rel_v, window_size
     return out[..., :d] if d_pad != d else out
 
 
+_FORCE_LAX = False
+
+
+class force_lax_attention:
+    """Context manager: make every attention call site take the dense lax
+    path regardless of platform. Used when tracing for portable export
+    (ONNX / StableHLO) where Pallas kernels must not appear in the graph."""
+
+    def __enter__(self):
+        global _FORCE_LAX
+        self._prev = _FORCE_LAX
+        _FORCE_LAX = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_LAX
+        _FORCE_LAX = self._prev
+        return False
+
+
 def banded_attention_supported(t: int) -> bool:
+    if _FORCE_LAX:
+        return False
     return _pick_block(t) is not None

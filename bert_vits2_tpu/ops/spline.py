@@ -74,8 +74,14 @@ def rational_quadratic_spline(
 
     bin_idx = _search_bin(cumheights if inverse else cumwidths, inputs)[..., None]
 
+    # one-hot contraction instead of take_along_axis: gathers serialize on
+    # the TPU scalar unit, while a K-wide (K≈10) masked reduce rides the
+    # VPU; it is also portable to the loop-free ONNX export (jax2onnx).
+    onehot = (bin_idx == jnp.arange(num_bins)).astype(cumwidths.dtype)
+
     def take(t):
-        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+        # t is [..., K] or [..., K+1] (cum arrays); bin_idx < K either way
+        return jnp.sum(t[..., :num_bins] * onehot, axis=-1)
 
     in_cumwidths = take(cumwidths)
     in_widths = take(widths)
@@ -84,7 +90,7 @@ def rational_quadratic_spline(
     delta = heights / widths
     in_delta = take(delta)
     in_deriv = take(derivatives)
-    in_deriv_p1 = jnp.take_along_axis(derivatives[..., 1:], bin_idx, axis=-1)[..., 0]
+    in_deriv_p1 = jnp.sum(derivatives[..., 1 : num_bins + 1] * onehot, axis=-1)
 
     if inverse:
         term = inputs - in_cumheights

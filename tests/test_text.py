@@ -246,3 +246,27 @@ class TestJaFallbackInternals:
         # 鳥 is in the kanji table (トリ) even when no word matches
         segs = segment("鳥")
         assert segs[0][1] == "トリ"
+
+
+class TestEnglishReferenceGoldens:
+    """Goldens captured by EXECUTING /root/reference/text/english.py
+    (tools/capture_ref_goldens.py): 70 fully-in-CMUdict sentences,
+    (norm_text, phones, tones, word2ph) pinned bit-exact."""
+
+    def test_against_captured_reference(self):
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "goldens", "en_ref_goldens.json"
+        )
+        rows = json.load(open(path, encoding="utf-8"))
+        assert len(rows) >= 60
+        from bert_vits2_tpu.text.cleaner import clean_text
+
+        for row in rows:
+            norm, phones, tones, word2ph = clean_text(row["text"], "EN")
+            assert norm == row["norm_text"], row["text"]
+            assert list(phones) == row["phones"], row["text"]
+            assert list(tones) == row["tones"], row["text"]
+            assert list(word2ph) == row["word2ph"], row["text"]
