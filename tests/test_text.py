@@ -270,3 +270,39 @@ class TestEnglishReferenceGoldens:
             assert list(phones) == row["phones"], row["text"]
             assert list(tones) == row["tones"], row["text"]
             assert list(word2ph) == row["word2ph"], row["text"]
+
+
+class TestZhJaSelfGoldens:
+    """Corpus-level regression pins for the ZH/JA frontends. These are
+    SELF-goldens (captured from this implementation, not the reference —
+    pypinyin/pyopenjtalk cannot run in this image): they guard refactors
+    from silently changing phones/tones/word2ph, not reference parity.
+    EN reference parity is pinned separately (TestEnglishReferenceGoldens)."""
+
+    def _rows(self, lang):
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "goldens", "zh_ja_self_goldens.json"
+        )
+        return json.load(open(path, encoding="utf-8"))[lang]
+
+    def _check(self, lang, min_rows):
+        from bert_vits2_tpu.text.cleaner import clean_text
+
+        rows = self._rows(lang)
+        assert len(rows) >= min_rows
+        for row in rows:
+            norm, phones, tones, word2ph = clean_text(row["text"], lang)
+            assert norm == row["norm_text"], row["text"]
+            assert list(phones) == row["phones"], row["text"]
+            assert list(tones) == row["tones"], row["text"]
+            assert list(word2ph) == row["word2ph"], row["text"]
+            assert len(phones) == len(tones) == sum(word2ph)
+
+    def test_zh(self):
+        self._check("ZH", 40)
+
+    def test_jp(self):
+        self._check("JP", 30)
