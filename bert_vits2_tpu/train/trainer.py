@@ -443,6 +443,17 @@ class Trainer:
 
                 if self.global_step % log_interval == 0 and self.is_lead:
                     m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                    # failure detection: a NaN/inf loss means the run is
+                    # already unrecoverable — stop BEFORE the next periodic
+                    # save can overwrite a good checkpoint with poisoned
+                    # weights (resume then restarts from the last good one)
+                    bad = {k: v for k, v in m.items() if not np.isfinite(v)}
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite training metrics at step "
+                            f"{self.global_step}: {bad}; last good "
+                            f"checkpoint is unaffected — rerun to resume"
+                        )
                     rate = timer.steps_per_sec()
                     self.logger.info(
                         "epoch %d step %d | g=%.3f d=%.3f mel=%.3f | "

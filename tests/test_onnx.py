@@ -198,3 +198,60 @@ def test_stage_io_contract(tiny_model, tmp_path):
     assert [v["name"] for v in g3["outputs"]] == ["o"]
     # o: [b, 1, frames*hop]
     assert g3["outputs"][0]["dims"] == [1, 1, 16 * 16]
+
+
+def test_onnx_pipeline_matches_jax_glue(tiny_model, tmp_path):
+    """End-to-end: the exported artifacts + numpy glue (compat/onnx_infer.py,
+    the reference V230_OnnxInference analog) produce the same waveform as
+    the JAX stage functions fed identical noise."""
+    from bert_vits2_tpu.compat.onnx_export import (
+        export_onnx,
+        make_onnx_stage_fns,
+        stage_signatures,
+    )
+    from bert_vits2_tpu.compat.onnx_infer import OnnxTTSPipeline
+
+    model, params = tiny_model
+    t_x, max_frames = 8, 16
+    export_onnx(model, params, str(tmp_path), "Tiny", t_x=t_x,
+                max_frames=max_frames)
+
+    rng = np.random.default_rng(3)
+    n = 6
+    seq = rng.integers(1, model.cfg.n_vocab, (1, n))
+    tone = rng.integers(0, model.cfg.num_tones, (1, n))
+    lang = rng.integers(0, model.cfg.num_languages, (1, n))
+    bert = rng.normal(size=(n, 1024)).astype(np.float32) * 0.3
+    sid = np.array([1])
+    zin = rng.normal(size=(1, 2, t_x)).astype(np.float32) * 0.8
+    z_eps = rng.normal(size=(1, model.cfg.inter_channels, max_frames)).astype(
+        np.float32
+    )
+
+    pipe = OnnxTTSPipeline(str(tmp_path), "Tiny")
+    wave_onnx, ylen_onnx = pipe(
+        seq, tone, lang, bert, bert, bert, sid, zin=zin, z_eps=z_eps
+    )
+
+    # same glue, but each stage is the JAX function the export traced
+    class JaxSession:
+        def __init__(self, fn, in_names):
+            self.fn, self.in_names = fn, in_names
+
+        def run(self, _outs, feeds):
+            out = self.fn(*[jnp.asarray(feeds[k]) for k in self.in_names])
+            out = out if isinstance(out, (tuple, list)) else (out,)
+            return [np.asarray(o) for o in out]
+
+    fns = make_onnx_stage_fns(model, params)
+    sigs = stage_signatures(model.cfg, t_x, max_frames)
+    pipe_jax = OnnxTTSPipeline(str(tmp_path), "Tiny")
+    for stage in pipe_jax.sessions:
+        pipe_jax.sessions[stage] = JaxSession(fns[stage], sigs[stage][1])
+    wave_jax, ylen_jax = pipe_jax(
+        seq, tone, lang, bert, bert, bert, sid, zin=zin, z_eps=z_eps
+    )
+
+    np.testing.assert_array_equal(ylen_onnx, ylen_jax)
+    np.testing.assert_allclose(wave_onnx, wave_jax, atol=2e-4)
+    assert np.isfinite(wave_onnx).all() and ylen_onnx[0] >= 1
