@@ -111,16 +111,29 @@ def main():
             deterministic=True,
         )
     params = jax.device_put(params, dev)
+    # fused Pallas MRF weights (vocoder tail fast path; +28% e2e on v5e —
+    # tools/profile_mrf.py): same parameters, weight-norm resolved
+    from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+
+    mrf_packed = jax.device_put(
+        pack_generator_mrf(
+            params["params"]["dec"], cfg.resblock_kernel_sizes,
+            cfg.resblock_dilation_sizes, cfg.upsample_rates,
+            cfg.upsample_initial_channel, cfg.infer_compute_dtype,
+        ),
+        dev,
+    )
 
     def make_synth(max_frames: int, length_scale: float):
         @jax.jit
-        def synth(params, batch, rng):
+        def synth(params, batch, rng, mrf_packed):
             wave, _, _, y_lengths = model.apply(
                 params,
                 batch["x"], batch["x_lengths"], batch["sid"], batch["tone"],
                 batch["language"], batch["bert"], batch["ja_bert"],
                 batch["en_bert"], max_frames,
                 length_scale=length_scale,
+                mrf_packed=mrf_packed,
                 method=Synthesizer.infer,
                 rngs={"noise": rng},
             )
@@ -133,11 +146,12 @@ def main():
         bt = _text_batch(cfg, b, t_x) if b != b0 else batch
         fn = make_synth(max_frames, length_scale)
         rng = jax.random.key(3)
-        wave, y_len = fn(params, bt, rng)  # compile + warmup
+        wave, y_len = fn(params, bt, rng, mrf_packed)  # compile + warmup
         y_len_h = np.minimum(np.asarray(y_len), max_frames)
         t0 = time.perf_counter()
         for i in range(iters):
-            wave, y_len = fn(params, bt, jax.random.fold_in(rng, i))
+            wave, y_len = fn(params, bt, jax.random.fold_in(rng, i),
+                             mrf_packed)
         # drain with a SCALAR transfer: the waveform itself is tens of MB,
         # which over the axon dev tunnel takes seconds and swamps device
         # time (PCIe on a real deployment makes it negligible)
@@ -147,7 +161,7 @@ def main():
         delivered = float(y_len_h.sum()) * hop / sr / dt
         compiled = None
         try:
-            compiled = fn.lower(params, bt, rng).compile()
+            compiled = fn.lower(params, bt, rng, mrf_packed).compile()
         except Exception:  # noqa: BLE001 - cost analysis is best-effort
             pass
         return capacity, delivered, dt, compiled
@@ -161,15 +175,24 @@ def main():
     out["delivered_audio_s_per_s"] = round(delivered, 3)
     out["padding_efficiency"] = round(delivered / capacity, 4)
 
-    # MFU from XLA's own FLOP count of the compiled headline graph
+    # MFU two ways:
+    #  - mfu_model_pct: ANALYTIC model FLOPs (true useful work; counts the
+    #    Pallas MRF kernels, excludes structural zeros) / wall / peak
+    #  - hw_flops_pct:  XLA cost-analysis FLOPs of the compiled graph
+    #    (hardware work XLA scheduled; excludes Pallas kernel FLOPs,
+    #    includes time-fold zero padding) — kept for trend continuity
     peak = peak_tflops(dev.device_kind)
     out["device_kind"] = dev.device_kind
+    model_fl = analytic_infer_flops(cfg, b0, t_x, frames0)
+    out["model_tflop_per_call"] = round(model_fl / 1e12, 3)
+    if peak:
+        out["mfu_model_pct"] = round(100.0 * model_fl / dt / 1e12 / peak, 2)
     try:
         flops = compiled.cost_analysis()["flops"]
         tflops_s = flops / dt / 1e12
         out["infer_tflops_per_s"] = round(tflops_s, 2)
         if peak:
-            out["mfu_pct"] = round(100.0 * tflops_s / peak, 2)
+            out["hw_flops_pct"] = round(100.0 * tflops_s / peak, 2)
     except Exception as e:  # noqa: BLE001
         log(f"cost_analysis unavailable: {e}")
 
@@ -210,6 +233,48 @@ def main():
         ),
         **out,
     }))
+
+
+def analytic_infer_flops(cfg, b: int, t_x: int, frames: int) -> float:
+    """Analytic (useful) FLOPs of one batched infer call. Decoder convs
+    dominate; encoder/flow/duration terms are included at matmul order.
+    2 FLOPs per MAC."""
+    h = cfg.hidden_channels
+    f = cfg.filter_channels
+    d = cfg.inter_channels
+    fl = 0.0
+    # text encoder: n_layers x (qkvo + conv-ffn k=3) + proj
+    fl += cfg.n_layers * (4 * t_x * h * h + 2 * 3 * t_x * h * f
+                          + 2 * t_x * t_x * h)
+    fl += t_x * h * 2 * d
+    # duration predictors (DDSConv stacks, kernel 3, filter 256): coarse
+    fl += 10 * 3 * t_x * 256 * 256
+    # transformer flow (reverse): n_layers_trans_flow couplings
+    tf_layers = getattr(cfg, "n_layers_trans_flow", 4)
+    fl += tf_layers * (4 * frames * h * h + 2 * 3 * frames * h * f
+                       + 2 * frames * frames * h / 8  # banded attn window
+                       + 2 * frames * h * d)
+    # decoder
+    ch0 = cfg.upsample_initial_channel
+    fl += 7 * frames * d * ch0  # conv_pre
+    t = frames
+    c_in = ch0
+    for i, (u, k) in enumerate(
+        zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+    ):
+        ch = ch0 // (2 ** (i + 1))
+        fl += k * t * c_in * ch  # ConvTranspose MACs (t_in taps)
+        t *= u
+        taps = sum(
+            2 * len(ds) * kk
+            for kk, ds in zip(
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes
+            )
+        )
+        fl += taps * t * ch * ch  # MRF convs
+        c_in = ch
+    fl += 7 * t * c_in * 1  # conv_post
+    return 2.0 * b * fl
 
 
 def train_bench(dev) -> dict:

@@ -151,6 +151,32 @@ class TTSEngine:
         self.version_spec = version_spec
         self.emotion_extractor = emotion_extractor
         self._jitted: dict = {}
+        # fused Pallas MRF weights for the vocoder tail (inference fast
+        # path; same parameters, weight-norm resolved). None disables.
+        self.mrf_packed = None
+        cfg = model.cfg
+        import jax as _jax
+
+        # CPU backends run Pallas in interpret mode — slower than XLA there,
+        # so the fused path is TPU-only (tests cover it explicitly)
+        if (
+            _jax.default_backend() != "cpu"
+            and getattr(cfg, "resblock", "1") == "1"
+            and "params" in params
+        ):
+            try:
+                from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+
+                self.mrf_packed = pack_generator_mrf(
+                    params["params"]["dec"],
+                    cfg.resblock_kernel_sizes,
+                    cfg.resblock_dilation_sizes,
+                    cfg.upsample_rates,
+                    cfg.upsample_initial_channel,
+                    cfg.infer_compute_dtype,
+                )
+            except KeyError:
+                self.mrf_packed = None
 
     def _resolve_emotion(self, emotion, reference_audio, batch: int):
         """-> emo array for the model, or None for emotion-less versions.
@@ -215,14 +241,15 @@ class TTSEngine:
             model = self.model
 
             @functools.partial(jax.jit, static_argnames=())
-            def fn(params, x, x_lengths, sid, tone, language, bert, ja_bert,
-                   en_bert, emo, noise_scale, length_scale, noise_scale_w,
-                   sdp_ratio, rng):
+            def fn(params, mrf_packed, x, x_lengths, sid, tone, language,
+                   bert, ja_bert, en_bert, emo, noise_scale, length_scale,
+                   noise_scale_w, sdp_ratio, rng):
                 return model.apply(
                     params, x, x_lengths, sid, tone, language, bert, ja_bert,
                     en_bert, max_frames, emo=emo,
                     noise_scale=noise_scale, length_scale=length_scale,
                     noise_scale_w=noise_scale_w, sdp_ratio=sdp_ratio,
+                    mrf_packed=mrf_packed,
                     method=type(model).infer, rngs={"noise": rng},
                 )
 
@@ -260,7 +287,8 @@ class TTSEngine:
                     emo = jnp.zeros((b, 512), jnp.float32)
                 knob = jnp.full((b,), 0.5, jnp.float32)
                 out = fn(
-                    self.params, zeros_i, jnp.full((b,), t_x, jnp.int32),
+                    self.params, self.mrf_packed, zeros_i,
+                    jnp.full((b,), t_x, jnp.int32),
                     jnp.zeros((b,), jnp.int32), zeros_i, zeros_i,
                     bert, bert, bert, emo, knob, knob, knob, knob,
                     jax.random.key(0),
@@ -415,6 +443,7 @@ class TTSEngine:
         fn = self._synth_fn(t_x, max_frames)
         wave, _, _, y_len = fn(
             self.params,
+            self.mrf_packed,
             jnp.asarray(stacked[0]),
             jnp.asarray(lens),
             jnp.asarray([r.sid for r in reqs]),

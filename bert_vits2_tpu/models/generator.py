@@ -157,8 +157,17 @@ class Generator(nn.Module):
     gin_channels: int = 0
 
     @nn.compact
-    def __call__(self, x, g=None, y_mask=None):
+    def __call__(self, x, g=None, y_mask=None, mrf_packed=None):
         """x: [b, t, inter_channels]; g: [b, gin] -> waveform [b, t * hop].
+
+        mrf_packed (inference only): per-stage packed MRF weights from
+        ops.mrf_pallas.pack_generator_mrf — stages with an entry run the
+        fused Pallas MRF kernel (one HBM read + one write instead of ~19
+        intermediate round trips, dense im2col MXU contraction) instead of
+        the ResBlock modules. Entries are weight-norm-resolved views of the
+        SAME parameters, passed as traced inputs so they never become HLO
+        constants. None (default, and always during init/training) keeps
+        the XLA time-folded path.
 
         y_mask [b, t] (optional): valid-frame mask for statically padded
         inference. The reference decodes exact dynamic lengths (models.py:1073)
@@ -198,23 +207,53 @@ class Generator(nn.Module):
                 mask = jax.numpy.repeat(mask, u, axis=1)
                 stage_mask = mask[..., 0]
                 x = x * mask
-            # MXU lane fold: channels < 128 at long T are lane-padding-bound;
-            # run the MRF in f-folded time with f*ch = 128 (bit-identical).
-            fold = 1
-            if 0 < ch < 128 and 128 % ch == 0:
-                fold = 128 // ch
-                while fold > 1 and x.shape[1] % fold:
-                    fold //= 2
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                block = res_cls(
-                    ch, rk, tuple(rd), time_fold=fold,
-                    name=f"resblocks_{i * num_kernels + j}",
+            packed = None
+            if mrf_packed is not None and self.resblock == "1":
+                from bert_vits2_tpu.ops.mrf_pallas import fused_mrf_supported
+
+                if fused_mrf_supported(
+                    ch, x.shape[1], self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes,
+                ):
+                    packed = mrf_packed[i]
+            if packed is not None:
+                from bert_vits2_tpu.ops.mrf_pallas import fused_mrf
+
+                mvec = (
+                    stage_mask
+                    if stage_mask is not None
+                    else jnp.ones(x.shape[:2], x.dtype)
                 )
-                xs = block(x, stage_mask) if xs is None else xs + block(x, stage_mask)
-            x = xs / num_kernels
+                x = fused_mrf(
+                    x, mvec, packed,
+                    tuple(self.resblock_kernel_sizes),
+                    tuple(tuple(d) for d in self.resblock_dilation_sizes),
+                    use_mask=stage_mask is not None,
+                )
+            else:
+                # MXU lane fold: channels < 128 at long T are
+                # lane-padding-bound; run the MRF in f-folded time with
+                # f*ch = 128 (bit-identical).
+                fold = 1
+                if 0 < ch < 128 and 128 % ch == 0:
+                    fold = 128 // ch
+                    while fold > 1 and x.shape[1] % fold:
+                        fold //= 2
+                xs = None
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes,
+                        self.resblock_dilation_sizes)
+                ):
+                    block = res_cls(
+                        ch, rk, tuple(rd), time_fold=fold,
+                        name=f"resblocks_{i * num_kernels + j}",
+                    )
+                    xs = (
+                        block(x, stage_mask)
+                        if xs is None
+                        else xs + block(x, stage_mask)
+                    )
+                x = xs / num_kernels
 
         x = jax.nn.leaky_relu(x)  # default slope 0.01 here, as in the reference
         ch = x.shape[-1]

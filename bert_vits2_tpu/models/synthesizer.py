@@ -247,8 +247,14 @@ class Synthesizer(nn.Module):
         sdp_ratio=0.0,
         y=None,
         deterministic=True,
+        mrf_packed=None,
     ):
         """Statically-shaped synthesis. Ref: models.py:1026-1074.
+
+        mrf_packed: optional per-stage packed decoder MRF weights
+        (ops.mrf_pallas.pack_generator_mrf) enabling the fused Pallas MRF
+        kernel in the vocoder tail — inference-only fast path, numerically
+        equivalent (same parameters, resolved weight norm).
 
         Returns (wave [b, max_frames*hop], attn, y_mask, y_lengths).
 
@@ -291,5 +297,6 @@ class Synthesizer(nn.Module):
         else:
             y_mask_c, g_c = y_mask, g
         z = self.flow(z_p, y_mask_c, g=g_c, reverse=True, deterministic=deterministic)
-        o = self.dec(z * y_mask_c[..., None], g=g_c, y_mask=y_mask_c)
+        o = self.dec(z * y_mask_c[..., None], g=g_c, y_mask=y_mask_c,
+                     mrf_packed=mrf_packed)
         return o.astype(jnp.float32), attn, y_mask, y_lengths
