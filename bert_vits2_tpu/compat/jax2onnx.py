@@ -583,6 +583,36 @@ def _gather(cv, eqn, invals):
             g = cv.b.fresh("gather")
             cv.b.add("Gather", [cv.name_of(operand), idx], [g], axis=axis)
             return g
+    # multi-axis leading index (e.g. per-head VQ codebook lookup):
+    # data[idx[...,0], ..., idx[...,m-1], :] -> ONNX GatherND
+    m = len(dn.start_index_map)
+    idx_shape = indices.aval.shape
+    if (
+        tuple(dn.start_index_map) == tuple(range(m))
+        and tuple(dn.collapsed_slice_dims) == tuple(range(m))
+        and not getattr(dn, "operand_batching_dims", ())
+        and idx_shape
+        and idx_shape[-1] == m
+        and all(
+            slice_sizes[d] == op_shape[d]
+            for d in range(m, len(op_shape))
+        )
+        and tuple(dn.offset_dims)
+        == tuple(
+            range(
+                len(idx_shape) - 1,
+                len(idx_shape) - 1 + len(op_shape) - m,
+            )
+        )
+    ):
+        idx = cv.name_of(indices)
+        if np.dtype(indices.aval.dtype) != np.int64:
+            c = cv.b.fresh("idx64")
+            cv.b.add("Cast", [idx], [c], to=pb.INT64)
+            idx = c
+        g = cv.b.fresh("gathernd")
+        cv.b.add("GatherND", [cv.name_of(operand), idx], [g], batch_dims=0)
+        return g
     raise UnsupportedPrimitive(
         f"gather pattern {dn} slice_sizes={slice_sizes}"
     )
@@ -713,14 +743,15 @@ def _reduce_or(cv, eqn, invals):
     return out
 
 
-@_register("argmax")
+@_register("argmax", "argmin")
 def _argmax(cv, eqn, invals):
+    onnx_op = "ArgMax" if eqn.primitive.name == "argmax" else "ArgMin"
     axes = eqn.params["axes"]
     if len(axes) != 1:
-        raise UnsupportedPrimitive("argmax over multiple axes")
-    a = cv.b.fresh("argmax")
+        raise UnsupportedPrimitive(f"{eqn.primitive.name} over multiple axes")
+    a = cv.b.fresh(onnx_op.lower())
     cv.b.add(
-        "ArgMax", [cv.name_of(invals[0])], [a], axis=axes[0], keepdims=0
+        onnx_op, [cv.name_of(invals[0])], [a], axis=axes[0], keepdims=0
     )
     dt = pb.np_to_onnx_dtype(np.dtype(eqn.params["index_dtype"]))
     if dt == pb.INT64:

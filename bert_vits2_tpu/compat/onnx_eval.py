@@ -277,6 +277,14 @@ class OnnxEvaluator:
             )
         if op == "Gather":
             return np.take(x[0], x[1].astype(np.int64), axis=a.get("axis", 0))
+        if op == "GatherND":
+            if a.get("batch_dims", 0):
+                raise NotImplementedError("GatherND batch_dims > 0")
+            data, idx = x[0], x[1].astype(np.int64)
+            m = idx.shape[-1]
+            flat = idx.reshape(-1, m)
+            rows = data[tuple(flat[:, i] for i in range(m))]
+            return rows.reshape(idx.shape[:-1] + data.shape[m:])
         if op == "ReduceSum":
             axes = (
                 tuple(int(v) for v in x[1])
@@ -302,8 +310,9 @@ class OnnxEvaluator:
                 axis=tuple(a["axes"]) if "axes" in a else None,
                 keepdims=bool(a.get("keepdims", 1)),
             )
-        if op == "ArgMax":
-            r = np.argmax(x[0], axis=a.get("axis", 0))
+        if op in ("ArgMax", "ArgMin"):
+            f = np.argmax if op == "ArgMax" else np.argmin
+            r = f(x[0], axis=a.get("axis", 0))
             if a.get("keepdims", 1):
                 r = np.expand_dims(r, a.get("axis", 0))
             return r.astype(np.int64)

@@ -55,7 +55,10 @@ def make_onnx_stage_fns(model, params: dict) -> dict:
             variables, sid.astype(jnp.int32), method=lambda m, s: m.emb_g(s)
         )
 
-    def enc_p(x, x_lengths, tone, language, bert0, bert1, bert2, g):
+    emotion = getattr(model.cfg, "emotion", "none")
+
+    def _run_enc(x, x_lengths, tone, language, bert0, bert1, bert2, g,
+                 emo=None):
         xh, m_p, logs_p, x_mask = model.apply(
             variables,
             x.astype(jnp.int32),
@@ -66,10 +69,29 @@ def make_onnx_stage_fns(model, params: dict) -> dict:
             bert1[None].astype(jnp.float32),
             bert2[None].astype(jnp.float32),
             method=lambda m, *a: m.enc_p(
-                *a, g=g[..., 0], deterministic=True
+                *a, emo=emo, g=g[..., 0], deterministic=True
             ),
         )
         return _cf(xh), _cf(m_p), _cf(logs_p), x_mask[:, None, :]
+
+    if emotion == "vq210":
+        # reference V210 contract (onnx_modules/V210/models_onnx.py:947):
+        # extra vqidx + sid inputs; sid is accepted for drop-in parity but
+        # speaker conditioning enters via g (our quantizer indexes vqidx)
+        def enc_p(x, x_lengths, tone, language, bert0, bert1, bert2, g,
+                  vqidx, sid):
+            del sid
+            return _run_enc(x, x_lengths, tone, language, bert0, bert1,
+                            bert2, g, emo=vqidx.astype(jnp.int32))
+    elif emotion == "clap220":
+        def enc_p(x, x_lengths, tone, language, bert0, bert1, bert2, g,
+                  emo):
+            return _run_enc(x, x_lengths, tone, language, bert0, bert1,
+                            bert2, g, emo=emo.astype(jnp.float32))
+    else:
+        def enc_p(x, x_lengths, tone, language, bert0, bert1, bert2, g):
+            return _run_enc(x, x_lengths, tone, language, bert0, bert1,
+                            bert2, g)
 
     def sdp(x, x_mask, zin, g):
         logw = model.apply(
@@ -129,9 +151,17 @@ def stage_signatures(cfg, t_x: int, max_frames: int, batch: int = 1):
             (
                 S((b, t_x), i64), S((b,), i64), S((b, t_x), i64),
                 S((b, t_x), i64), bert, bert, bert, g,
-            ),
+            )
+            + {
+                "vq210": (S((b,), i64), S((b,), i64)),
+                "clap220": (S((b, 512), f32),),
+            }.get(getattr(cfg, "emotion", "none"), ()),
             ["x", "x_lengths", "t", "language", "bert_0", "bert_1",
-             "bert_2", "g"],
+             "bert_2", "g"]
+            + {
+                "vq210": ["vqidx", "sid"],
+                "clap220": ["emo"],
+            }.get(getattr(cfg, "emotion", "none"), []),
             ["xout", "m_p", "logs_p", "x_mask"],
         ),
         "sdp": (

@@ -255,3 +255,64 @@ def test_onnx_pipeline_matches_jax_glue(tiny_model, tmp_path):
     np.testing.assert_array_equal(ylen_onnx, ylen_jax)
     np.testing.assert_allclose(wave_onnx, wave_jax, atol=2e-4)
     assert np.isfinite(wave_onnx).all() and ylen_onnx[0] >= 1
+
+
+@pytest.mark.parametrize("emotion,extra", [
+    ("vq210", ["vqidx", "sid"]),
+    ("clap220", ["emo"]),
+])
+def test_emotion_version_enc_export(emotion, extra, tmp_path):
+    """V2.1/V2.2 enc_p graphs carry the reference's extra emotion inputs
+    (onnx_modules/V210/models_onnx.py:947-958) and still verify."""
+    from bert_vits2_tpu.models import ModelConfig, Synthesizer
+    from bert_vits2_tpu.compat.onnx_export import export_onnx, verify_onnx
+    from bert_vits2_tpu.compat.onnx_pb import parse_model
+
+    cfg = ModelConfig(
+        n_vocab=20, bert_dim=1024, spec_channels=33, segment_size=8,
+        inter_channels=8, hidden_channels=8, filter_channels=16, n_heads=2,
+        n_layers=1, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4),
+        upsample_initial_channel=16, upsample_kernel_sizes=(8, 8),
+        n_speakers=4, gin_channels=8, n_layers_trans_flow=2,
+        emotion=emotion,
+    )
+    model = Synthesizer(cfg)
+    b, t_x = 1, 8
+    rng0 = np.random.default_rng(0)
+    bert = jnp.asarray(rng0.normal(size=(b, t_x, 1024)), jnp.float32)
+    emo0 = (
+        jnp.zeros((b,), jnp.int32)
+        if emotion == "vq210"
+        else jnp.zeros((b, 512), jnp.float32)
+    )
+    params = model.init(
+        {
+            "params": jax.random.key(0),
+            "noise": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        },
+        jnp.asarray(rng0.integers(1, cfg.n_vocab, (b, t_x))),
+        jnp.asarray([t_x] * b),
+        jnp.zeros((b, 16, cfg.spec_channels), jnp.float32),
+        jnp.asarray([16] * b),
+        jnp.asarray([0]),
+        jnp.asarray(rng0.integers(0, cfg.num_tones, (b, t_x))),
+        jnp.asarray(rng0.integers(0, cfg.num_languages, (b, t_x))),
+        bert, bert, bert,
+        emo=emo0,
+        deterministic=True,
+    )["params"]
+    paths = export_onnx(
+        model, params, str(tmp_path), "Emo", t_x=t_x, max_frames=16,
+        stages=("enc_p",),
+    )
+    with open(paths["enc_p"], "rb") as f:
+        g = parse_model(f.read())["graph"]
+    names = [v["name"] for v in g["inputs"]]
+    assert names == [
+        "x", "x_lengths", "t", "language", "bert_0", "bert_1", "bert_2",
+        "g",
+    ] + extra
+    errs = verify_onnx(model, params, paths, t_x=t_x, max_frames=16)
+    assert errs["enc_p"] < 1e-4, errs
