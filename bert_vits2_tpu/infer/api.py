@@ -138,8 +138,18 @@ class TTSEngine:
         frame_multiple: int = 64,
         version_spec=None,
         emotion_extractor=None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh for data-parallel batched
+        synthesis — params replicate, request batches shard over the
+        `data` axis, XLA inserts the collectives (the inference analog of
+        the training DP path; BASELINE.md scaling target)."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from bert_vits2_tpu.parallel import replicate
+
+            params = replicate(mesh, params)
         self.params = params
         self.spk2id = spk2id or {}
         self.sampling_rate = sampling_rate
@@ -177,6 +187,10 @@ class TTSEngine:
                 )
             except KeyError:
                 self.mrf_packed = None
+        if self.mesh is not None and self.mrf_packed is not None:
+            from bert_vits2_tpu.parallel import replicate
+
+            self.mrf_packed = replicate(self.mesh, self.mrf_packed)
 
     def _resolve_emotion(self, emotion, reference_audio, batch: int):
         """-> emo array for the model, or None for emotion-less versions.
@@ -417,6 +431,9 @@ class TTSEngine:
         # so serve-time batches hit a small set of compiled batch shapes
         # instead of one XLA compile per arrival count 1..max_batch
         n_pad = 1 << max(n_req - 1, 0).bit_length()
+        if self.mesh is not None:  # batch must split evenly over `data`
+            n_data = self.mesh.shape.get("data", 1)
+            n_pad = max(n_pad, n_data)
         reqs = list(reqs) + [reqs[-1]] * (n_pad - n_req)
         lens = [len(r.inputs[0]) for r in reqs]
         t_x = self._bucket(max(lens))
@@ -440,16 +457,26 @@ class TTSEngine:
             for k in ("noise_scale", "length_scale", "noise_scale_w",
                       "sdp_ratio")
         ]
+        if self.mesh is None:
+            put = jnp.asarray
+        else:
+            from bert_vits2_tpu.parallel import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+
+            def put(a):
+                return jax.device_put(np.asarray(a), sh)
+
         fn = self._synth_fn(t_x, max_frames)
         wave, _, _, y_len = fn(
             self.params,
             self.mrf_packed,
-            jnp.asarray(stacked[0]),
-            jnp.asarray(lens),
-            jnp.asarray([r.sid for r in reqs]),
-            *[jnp.asarray(s) for s in stacked[1:]],
-            emo,
-            *[jnp.asarray(k) for k in knobs],
+            put(stacked[0]),
+            put(lens),
+            put([r.sid for r in reqs]),
+            *[put(s) for s in stacked[1:]],
+            emo if emo is None or self.mesh is None else put(emo),
+            *[put(k) for k in knobs],
             jax.random.key(reqs[0].seed),
         )
         wave, y_len = np.asarray(wave), np.asarray(y_len)

@@ -190,3 +190,40 @@ class TestServeBatching:
         before = len(engine._jitted)
         engine.infer("テスト。", speaker=0, language="JP")
         assert len(engine._jitted) == before
+
+
+class TestDataParallelInference:
+    """Batched synthesis sharded over the `data` mesh axis matches the
+    single-device engine bitwise-for-seed (BASELINE.md scaling target;
+    inference analog of the training DP test)."""
+
+    def test_dp_engine_matches_single_device(self, engine):
+        import jax
+
+        from bert_vits2_tpu.infer.api import TTSEngine
+        from bert_vits2_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        dp = TTSEngine(
+            engine.model, engine.params,
+            spk2id={"alice": 1, "bob": 2},
+            text_buckets=(32, 64), frames_per_token=4, mesh=mesh,
+        )
+        texts = [
+            ("おはようございます。", "alice"),
+            ("こんばんは。", "bob"),
+            ("ありがとう。", "alice"),
+        ]
+        reqs = [
+            engine.prepare(t, speaker=s, language="JP", seed=5)
+            for t, s in texts
+        ]
+        want = engine.run_prepared(reqs)
+        reqs_dp = [
+            dp.prepare(t, speaker=s, language="JP", seed=5)
+            for t, s in texts
+        ]
+        got = dp.run_prepared(reqs_dp)
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-4)
