@@ -346,6 +346,11 @@ def train_bench(dev) -> dict:
 
     state = init_train_state(models, train_cfg, *params,
                              params_slm=slm_params_dev)
+    # commit EVERY leaf (incl. scalar counters) to the chip: a state with
+    # mixed committed/uncommitted leaves gives the first call a different
+    # jit signature than the stepped state -> a silent second multi-minute
+    # XLA compile that poisons the timing loop
+    state = jax.device_put(state, dev)
     step_fn = make_train_step(
         models, train_cfg, data_cfg, cfg.segment_size,
         slm_embed=slm_embed, slm_feature_fn=slm_feature_fn, donate=False,
