@@ -306,3 +306,28 @@ class TestZhJaSelfGoldens:
 
     def test_jp(self):
         self._check("JP", 30)
+
+
+class TestOpencpopStrictParity:
+    """Our algorithmic pinyin->phones mapping (text/mandarin.py) must equal
+    the reference's authoritative 429-row table (text/opencpop-strict.txt),
+    which both implementations treat as the spec. Runs only where the
+    reference checkout is present (the table is its data asset)."""
+
+    REF = "/root/reference/text/opencpop-strict.txt"
+
+    def test_all_429_rows(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists(self.REF):
+            _pytest.skip("reference checkout not available")
+        from bert_vits2_tpu.text.mandarin import pinyin_to_phones
+
+        n = 0
+        for line in open(self.REF, encoding="utf-8"):
+            syl, phones = line.rstrip("\n").split("\t")
+            assert list(pinyin_to_phones(syl)) == phones.split(), syl
+            n += 1
+        assert n == 429
