@@ -1,23 +1,37 @@
 """Benchmark: synthesis + training throughput on one chip.
 
-Prints ONE JSON line (stdout); progress goes to stderr. Primary metric is
-PEAK batched synthesis throughput in audio-seconds per wall-second per chip,
-accounted at bucket capacity — every padded frame is genuinely synthesized
-(static shapes), so this is the chip's work rate. Alongside it the same JSON
-reports the honest serving numbers:
+Driver contract: the LAST complete JSON line on stdout is the result. To make
+that robust against external timeouts (round 2 died mid-train-compile with
+zero output, BENCH_r02.json rc=124), this file is split into
+
+  - an ORCHESTRATOR (main, no jax import) that runs each stage in its own
+    subprocess with a hard process-group-kill timeout and re-prints the full
+    cumulative JSON line after EVERY stage, and
+  - STAGES (--stage quick|headline|train|sweep) that do the jax work and
+    print their own partial result as a JSON line.
+
+Stage order is by value-per-second under a cold compilation cache (the
+committed-cache experiment failed: XLA:CPU AOT entries are machine-feature
+locked, and the remote TPU train-step compile is multi-minute):
+
+  quick     small synthesis shape, fastest compile -> guarantees a number
+  headline  peak batched synthesis (b=16 x 1024 frames) + MFU
+  train     full-geometry fused GAN step (bf16, SLM on)
+  sweep     batch x frame-cap capacity grid (first to be sacrificed)
+
+Primary metric is PEAK batched synthesis throughput in audio-seconds per
+wall-second per chip, accounted at bucket capacity — every padded frame is
+genuinely synthesized (static shapes), so this is the chip's work rate.
+Alongside it the same JSON reports the honest serving numbers:
 
   delivered_audio_s_per_s  sum(y_lengths)-based throughput at a realistic
                            ~3.5 frames/token speech rate (no trained
                            checkpoint ships in this image, so durations are
-                           length_scale-calibrated to match real speech;
-                           see notes field)
+                           length_scale-calibrated to match real speech)
   padding_efficiency       delivered / capacity for the headline shape
-  mfu_pct                  XLA cost-analysis FLOPs / wall / peak(chip)
-  sweep                    batch x frame-cap capacity grid
-  train                    full-geometry fused GAN step (bf16, SLM branch on
-                           with geometry-identical random WavLM): steps/s and
-                           utterance audio-s/s consumed (reference hot loop
-                           train_ms.py:422-607)
+  mfu_model_pct            analytic model FLOPs / wall / peak(chip)
+  train                    steps/s and utterance audio-s/s consumed
+                           (reference hot loop train_ms.py:422-607)
 
 North-star baseline is 10x realtime per chip (BASELINE.md):
 vs_baseline = peak / 10.
@@ -25,13 +39,16 @@ vs_baseline = peak / 10.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 T0 = time.monotonic()
@@ -61,129 +78,260 @@ def peak_tflops(device_kind: str) -> float | None:
     return None
 
 
-def main():
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def emit(out: dict) -> None:
+    """Print the full cumulative result as one JSON line (driver contract:
+    last JSON line wins, so every emit must be complete and parseable)."""
+    value = out.get("value", 0.0)
+    print(json.dumps({
+        "metric": "audio_seconds_per_sec_per_chip",
+        "value": value,
+        "unit": "audio-s/s/chip (peak, bucket capacity)",
+        "vs_baseline": round(value / 10.0, 3),
+        "notes": (
+            "peak counts every synthesized bucket frame (static shapes); "
+            "delivered uses predicted y_lengths at length_scale-calibrated "
+            "~3.5 frames/token (no trained ckpt in image). D2H waveform "
+            "transfer excluded: axon dev tunnel, not PCIe."
+        ),
+        **{k: v for k, v in out.items() if k != "value"},
+    }), flush=True)
+
+
+def run_stage(stage: str, timeout_s: float, extra: list[str] | None = None):
+    """Run one bench stage in its own process group with a hard timeout.
+
+    Returns the stage's parsed JSON dict, or {"skipped"/"error": ...}.
+    Subprocess isolation means a hung/multi-minute XLA compile can be killed
+    without losing already-emitted results, and sequential stages never
+    contend for the single TPU chip.
+    """
+    if timeout_s < 30:
+        return {"skipped": f"bench budget exhausted ({budget_left():.0f}s left)"}
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    cmd += extra or []
+    log(f"[bench] stage {stage} (timeout {timeout_s:.0f}s) ...")
+    t0 = time.monotonic()
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                         start_new_session=True, cwd=REPO)
+    try:
+        out_b, _ = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        p.wait()
+        log(f"[bench] stage {stage} KILLED at {timeout_s:.0f}s")
+        return {"skipped": f"{stage} exceeded {int(timeout_s)}s stage budget"}
+    dt = time.monotonic() - t0
+    if p.returncode != 0:
+        return {"error": f"{stage} subprocess rc={p.returncode}"}
+    for line in reversed(out_b.decode(errors="replace").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+                log(f"[bench] stage {stage} done in {dt:.0f}s")
+                return d
+            except json.JSONDecodeError:
+                continue
+    return {"error": f"{stage} produced no JSON line"}
+
+
+def main() -> None:
+    out: dict = {}
+
+    # -- quick: smallest useful shape; guarantees the driver gets a number --
+    q = run_stage("quick", min(budget_left() - 60, 900))
+    if "value" in q:
+        out.update(q)
+        out["quick_shape"] = out.pop("shape", None)
+        emit(out)
+    else:
+        out["quick"] = q
+        log(f"[bench] quick stage gave no value: {q}")
+
+    # -- headline: peak shape + MFU ----------------------------------------
+    h = run_stage("headline", min(budget_left() - 120, 1100))
+    if "value" in h:
+        out.update(h)
+        out["headline_shape"] = out.pop("shape", None)
+        emit(out)
+    else:
+        out["headline"] = h
+        emit(out)
+
+    # -- train: full-geometry fused GAN step (hard-capped: the cold remote
+    # compile is multi-minute and must never eat the whole budget) ---------
+    out["train"] = run_stage("train", min(budget_left() - 90, 1100))
+    emit(out)
+
+    # -- sweep: first to be sacrificed -------------------------------------
+    sweep_budget = budget_left() - 45
+    if sweep_budget > 120:
+        s = run_stage("sweep", sweep_budget,
+                      extra=["--sweep-budget", str(int(sweep_budget - 30))])
+        out["sweep"] = s.get("sweep", s)
+        emit(out)
+
+
+# --------------------------------------------------------------------------
+# stage implementations (each runs in its own subprocess)
+# --------------------------------------------------------------------------
+
+def _jax_setup():
     import jax
-    import jax.numpy as jnp
 
-    from __graft_entry__ import _full_config, _text_batch
-    from bert_vits2_tpu.models import Synthesizer
-
-    # persistent compilation cache: repeat bench runs (and the driver's
-    # end-of-round run) skip the multi-minute XLA compiles
+    # persistent compilation cache: repeat runs skip multi-minute compiles
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache"),
-            ),
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(REPO, ".jax_cache")),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception as e:  # noqa: BLE001 - cache is an optimization only
         log(f"compilation cache unavailable: {e}")
+    return jax
 
-    dev = jax.devices()[0]
-    out: dict = {}
 
-    # production serving config: bf16 flow+vocoder (params fp32, durations
-    # fp32; ModelConfig.infer_compute_dtype). Parity tests use fp32.
-    cfg = dataclasses.replace(_full_config(), infer_compute_dtype="bfloat16")
-    model = Synthesizer(cfg)
-    sr, hop = 44100, cfg.hop_length
+class _InferBench:
+    """Shared infer-bench harness: full V2.3 model, bf16 serving dtype,
+    fused Pallas MRF vocoder tail (ops/mrf_pallas.py)."""
 
-    b0, t_x, frames0 = 16, 128, 1024
-    batch = _text_batch(cfg, b0, t_x)
-    spec = jnp.zeros((b0, 32, cfg.spec_channels), jnp.float32)
-    init_rngs = {
-        "params": jax.random.key(0),
-        "noise": jax.random.key(1),
-        "dropout": jax.random.key(2),
-    }
-    # init on host CPU: eager init over the axon relay dispatches thousands
-    # of tiny ops with a network round trip each; one device_put is cheap
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            init_rngs,
-            batch["x"], batch["x_lengths"], spec, jnp.asarray([32] * b0),
-            batch["sid"], batch["tone"], batch["language"],
-            batch["bert"], batch["ja_bert"], batch["en_bert"],
-            deterministic=True,
-        )
-    params = jax.device_put(params, dev)
-    # fused Pallas MRF weights (vocoder tail fast path; +28% e2e on v5e —
-    # tools/profile_mrf.py): same parameters, weight-norm resolved
-    from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+    def __init__(self):
+        import dataclasses
 
-    mrf_packed = jax.device_put(
-        pack_generator_mrf(
-            params["params"]["dec"], cfg.resblock_kernel_sizes,
-            cfg.resblock_dilation_sizes, cfg.upsample_rates,
-            cfg.upsample_initial_channel, cfg.infer_compute_dtype,
-        ),
-        dev,
-    )
+        jax = _jax_setup()
+        import jax.numpy as jnp
 
-    def make_synth(max_frames: int, length_scale: float):
-        @jax.jit
+        from __graft_entry__ import _full_config, _text_batch
+        from bert_vits2_tpu.models import Synthesizer
+        from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+
+        self.jax, self.jnp = jax, jnp
+        self.dev = jax.devices()[0]
+        cfg = dataclasses.replace(_full_config(),
+                                  infer_compute_dtype="bfloat16")
+        self.cfg = cfg
+        self.model = Synthesizer(cfg)
+        self.sr, self.hop = 44100, cfg.hop_length
+        self.t_x = 128
+        self._text_batch = _text_batch
+        self.batches: dict[int, dict] = {}
+
+        b0 = 16
+        batch = _text_batch(cfg, b0, self.t_x)
+        self.batches[b0] = batch
+        spec = jnp.zeros((b0, 32, cfg.spec_channels), jnp.float32)
+        init_rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                     "dropout": jax.random.key(2)}
+        # init on host CPU: eager init over the axon relay dispatches
+        # thousands of tiny ops with a network round trip each
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = self.model.init(
+                init_rngs, batch["x"], batch["x_lengths"], spec,
+                jnp.asarray([32] * b0), batch["sid"], batch["tone"],
+                batch["language"], batch["bert"], batch["ja_bert"],
+                batch["en_bert"], deterministic=True)
+        self.params = jax.device_put(params, self.dev)
+        self.mrf_packed = jax.device_put(
+            pack_generator_mrf(
+                params["params"]["dec"], cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes, cfg.upsample_rates,
+                cfg.upsample_initial_channel, cfg.infer_compute_dtype),
+            self.dev)
+
+    def make_synth(self, max_frames: int, length_scale: float):
+        from bert_vits2_tpu.models import Synthesizer
+
+        model = self.model
+
+        @self.jax.jit
         def synth(params, batch, rng, mrf_packed):
             wave, _, _, y_lengths = model.apply(
-                params,
-                batch["x"], batch["x_lengths"], batch["sid"], batch["tone"],
-                batch["language"], batch["bert"], batch["ja_bert"],
-                batch["en_bert"], max_frames,
-                length_scale=length_scale,
-                mrf_packed=mrf_packed,
-                method=Synthesizer.infer,
-                rngs={"noise": rng},
-            )
+                params, batch["x"], batch["x_lengths"], batch["sid"],
+                batch["tone"], batch["language"], batch["bert"],
+                batch["ja_bert"], batch["en_bert"], max_frames,
+                length_scale=length_scale, mrf_packed=mrf_packed,
+                method=Synthesizer.infer, rngs={"noise": rng})
             return wave, y_lengths
 
         return synth
 
-    def run_shape(b: int, max_frames: int, length_scale: float, iters: int):
-        """-> (capacity audio-s/s, delivered audio-s/s, compiled_or_None)."""
-        bt = _text_batch(cfg, b, t_x) if b != b0 else batch
-        fn = make_synth(max_frames, length_scale)
+    def run_shape(self, b: int, max_frames: int, length_scale: float,
+                  iters: int):
+        """-> (capacity audio-s/s, delivered audio-s/s, dt, compiled|None)."""
+        import numpy as np
+
+        jax, jnp = self.jax, self.jnp
+        if b not in self.batches:
+            self.batches[b] = self._text_batch(self.cfg, b, self.t_x)
+        bt = self.batches[b]
+        fn = self.make_synth(max_frames, length_scale)
         rng = jax.random.key(3)
-        wave, y_len = fn(params, bt, rng, mrf_packed)  # compile + warmup
+        wave, y_len = fn(self.params, bt, rng, self.mrf_packed)  # compile
         y_len_h = np.minimum(np.asarray(y_len), max_frames)
         t0 = time.perf_counter()
         for i in range(iters):
-            wave, y_len = fn(params, bt, jax.random.fold_in(rng, i),
-                             mrf_packed)
+            wave, y_len = fn(self.params, bt, jax.random.fold_in(rng, i),
+                             self.mrf_packed)
         # drain with a SCALAR transfer: the waveform itself is tens of MB,
         # which over the axon dev tunnel takes seconds and swamps device
         # time (PCIe on a real deployment makes it negligible)
         np.asarray(jnp.sum(wave.astype(jnp.float32)))
         dt = (time.perf_counter() - t0) / iters
-        capacity = b * max_frames * hop / sr / dt
-        delivered = float(y_len_h.sum()) * hop / sr / dt
+        capacity = b * max_frames * self.hop / self.sr / dt
+        delivered = float(y_len_h.sum()) * self.hop / self.sr / dt
         compiled = None
         try:
-            compiled = fn.lower(params, bt, rng, mrf_packed).compile()
+            compiled = fn.lower(self.params, bt, rng,
+                                self.mrf_packed).compile()
         except Exception:  # noqa: BLE001 - cost analysis is best-effort
             pass
         return capacity, delivered, dt, compiled
 
-    # ---- headline: b=16 x 1024-frame cap, realistic ~3.5 frames/token ----
-    # (random-init dp predicts ~1 frame/token; length_scale=3.5 calibrates
-    # durations to real speech: ~86 frames/s at ~25 phones+blanks/s)
-    log("headline shape (16 x 128 tokens x 1024 frames) ...")
-    capacity, delivered, dt, compiled = run_shape(b0, frames0, 3.5, 30)
-    out["value"] = round(capacity, 3)
-    out["delivered_audio_s_per_s"] = round(delivered, 3)
-    out["padding_efficiency"] = round(delivered / capacity, 4)
 
+def stage_quick() -> dict:
+    """Small shape, fastest compile — the guaranteed-number stage."""
+    bench = _InferBench()
+    b, mf = 8, 512
+    log(f"quick shape ({b} x {bench.t_x} tokens x {mf} frames) ...")
+    capacity, delivered, dt, _ = bench.run_shape(b, mf, 3.5, 8)
+    return {
+        "value": round(capacity, 3),
+        "delivered_audio_s_per_s": round(delivered, 3),
+        "padding_efficiency": round(delivered / capacity, 4),
+        "shape": f"{b}x{mf}",
+        "device_kind": bench.dev.device_kind,
+    }
+
+
+def stage_headline() -> dict:
+    """Peak shape (b=16 x 1024-frame cap) + the two MFU accountings."""
+    bench = _InferBench()
+    b, t_x, mf = 16, bench.t_x, 1024
+    log(f"headline shape ({b} x {t_x} tokens x {mf} frames) ...")
+    capacity, delivered, dt, compiled = bench.run_shape(b, mf, 3.5, 30)
+    out = {
+        "value": round(capacity, 3),
+        "delivered_audio_s_per_s": round(delivered, 3),
+        "padding_efficiency": round(delivered / capacity, 4),
+        "shape": f"{b}x{mf}",
+        "device_kind": bench.dev.device_kind,
+    }
     # MFU two ways:
     #  - mfu_model_pct: ANALYTIC model FLOPs (true useful work; counts the
     #    Pallas MRF kernels, excludes structural zeros) / wall / peak
     #  - hw_flops_pct:  XLA cost-analysis FLOPs of the compiled graph
     #    (hardware work XLA scheduled; excludes Pallas kernel FLOPs,
     #    includes time-fold zero padding) — kept for trend continuity
-    peak = peak_tflops(dev.device_kind)
-    out["device_kind"] = dev.device_kind
-    model_fl = analytic_infer_flops(cfg, b0, t_x, frames0)
+    peak = peak_tflops(bench.dev.device_kind)
+    model_fl = analytic_infer_flops(bench.cfg, b, t_x, mf)
     out["model_tflop_per_call"] = round(model_fl / 1e12, 3)
     if peak:
         out["mfu_model_pct"] = round(100.0 * model_fl / dt / 1e12 / peak, 2)
@@ -195,44 +343,27 @@ def main():
             out["hw_flops_pct"] = round(100.0 * tflops_s / peak, 2)
     except Exception as e:  # noqa: BLE001
         log(f"cost_analysis unavailable: {e}")
+    return out
 
-    # ---- training step first (higher value than the sweep): full geometry,
-    # bf16, SLM branch ON ----
-    try:
-        if budget_left() < 200:
-            raise TimeoutError("bench budget exhausted before train bench")
-        out["train"] = train_bench(dev)
-    except Exception as e:  # noqa: BLE001 - inference numbers still count
-        log(f"train bench failed: {e}")
-        out["train"] = {"error": str(e)[:200]}
 
-    # ---- batch x frame-cap capacity sweep ----
-    sweep = {}
-    for b in (4, 8, 16, 32):
-        for mf in (256, 512, 1024):
-            if (b, mf) == (b0, frames0):
-                sweep[f"{b}x{mf}"] = round(capacity, 1)
-                continue
-            if budget_left() < 240:
-                sweep[f"{b}x{mf}"] = None  # skipped: bench budget
-                continue
-            cap, _, _, _ = run_shape(b, mf, 3.5, 8)
-            sweep[f"{b}x{mf}"] = round(cap, 1)
-            log(f"sweep {b}x{mf}: {cap:.1f} audio-s/s")
-    out["sweep"] = sweep
-
-    print(json.dumps({
-        "metric": "audio_seconds_per_sec_per_chip",
-        "unit": "audio-s/s/chip (peak, bucket capacity)",
-        "vs_baseline": round(out["value"] / 10.0, 3),
-        "notes": (
-            "peak counts every synthesized bucket frame (static shapes); "
-            "delivered uses predicted y_lengths at length_scale-calibrated "
-            "~3.5 frames/token (no trained ckpt in image). D2H waveform "
-            "transfer excluded: axon dev tunnel, not PCIe."
-        ),
-        **out,
-    }))
+def stage_sweep(sweep_budget: float) -> dict:
+    """Batch x frame-cap capacity grid; per-shape budget guard."""
+    t0 = time.monotonic()
+    bench = _InferBench()
+    sweep: dict[str, float | None] = {}
+    # largest shapes first: they anchor the capacity curve and are most
+    # likely to be warm from quick/headline
+    shapes = [(16, 1024), (8, 512), (32, 1024), (16, 512), (8, 1024),
+              (32, 512), (4, 1024), (16, 256), (8, 256), (4, 512),
+              (32, 256), (4, 256)]
+    for b, mf in shapes:
+        if sweep_budget - (time.monotonic() - t0) < 150:
+            sweep[f"{b}x{mf}"] = None  # skipped: bench budget
+            continue
+        cap, _, _, _ = bench.run_shape(b, mf, 3.5, 8)
+        sweep[f"{b}x{mf}"] = round(cap, 1)
+        log(f"sweep {b}x{mf}: {cap:.1f} audio-s/s")
+    return {"sweep": sweep}
 
 
 def analytic_infer_flops(cfg, b: int, t_x: int, frames: int) -> float:
@@ -277,12 +408,16 @@ def analytic_infer_flops(cfg, b: int, t_x: int, frames: int) -> float:
     return 2.0 * b * fl
 
 
-def train_bench(dev) -> dict:
+def stage_train() -> dict:
     """Full-geometry fused GAN step (reference train_ms.py:422-607): batch 16
     x 512 spec frames, bf16, dur-disc + SLM losses on (WavLM geometry equals
     wavlm-base-plus; random weights are FLOP-identical to the frozen
     original)."""
-    import jax
+    import dataclasses
+
+    import numpy as np
+
+    jax = _jax_setup()
     import jax.numpy as jnp
 
     from bert_vits2_tpu.models import WavLMDiscriminator
@@ -295,9 +430,9 @@ def train_bench(dev) -> dict:
         make_train_step,
     )
     from bert_vits2_tpu.train.trainer import build_models, init_params
-    from bert_vits2_tpu.compat.hparams import HParams  # noqa: F401  (docs)
     from __graft_entry__ import _full_config
 
+    dev = jax.devices()[0]
     cfg = dataclasses.replace(_full_config(), train_compute_dtype="bfloat16")
     data_cfg = DataConfig()
     train_cfg = TrainConfig(bf16_run=True)
@@ -375,4 +510,21 @@ def train_bench(dev) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        if stage == "quick":
+            res = stage_quick()
+        elif stage == "headline":
+            res = stage_headline()
+        elif stage == "train":
+            res = stage_train()
+        elif stage == "sweep":
+            sb = 600.0
+            if "--sweep-budget" in sys.argv:
+                sb = float(sys.argv[sys.argv.index("--sweep-budget") + 1])
+            res = stage_sweep(sb)
+        else:
+            raise SystemExit(f"unknown stage {stage}")
+        print(json.dumps(res), flush=True)
+    else:
+        main()

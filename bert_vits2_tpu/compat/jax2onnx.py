@@ -44,7 +44,7 @@ class _Builder:
         self.nodes: list[bytes] = []
         self.initializers: dict[str, bytes] = {}
         self._n = 0
-        self._const_cache: dict[int, str] = {}
+        self._const_cache: dict[tuple, str] = {}
 
     def fresh(self, hint: str) -> str:
         self._n += 1
@@ -58,7 +58,10 @@ class _Builder:
 
     def const(self, arr: np.ndarray, hint: str = "const") -> str:
         arr = np.asarray(arr)
-        key = hash((arr.shape, str(arr.dtype), arr.tobytes()))
+        # key on the actual (shape, dtype, bytes) tuple, not its hash: dict
+        # compares keys on hash collision, so two distinct constants can
+        # never silently alias
+        key = (arr.shape, str(arr.dtype), arr.tobytes())
         if key in self._const_cache:
             return self._const_cache[key]
         name = self.fresh(hint)

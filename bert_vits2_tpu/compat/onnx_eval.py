@@ -169,9 +169,14 @@ class OnnxEvaluator:
         if op == "Mul":
             return x[0] * x[1]
         if op == "Div":
-            return x[0] / x[1] if np.issubdtype(
-                x[0].dtype, np.floating
-            ) else x[0] // x[1]
+            if np.issubdtype(x[0].dtype, np.floating):
+                return x[0] / x[1]
+            # ONNX integer Div truncates toward zero; numpy // floors.
+            # Exact correction (no float round-trip): bump the floored
+            # quotient when there is a remainder and the signs differ.
+            q = x[0] // x[1]
+            r = x[0] - q * x[1]
+            return q + ((r != 0) & ((x[0] < 0) != (x[1] < 0)))
         if op == "Pow":
             return np.power(x[0], x[1].astype(x[0].dtype))
         if op == "Mod":

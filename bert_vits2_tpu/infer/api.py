@@ -433,7 +433,10 @@ class TTSEngine:
         n_pad = 1 << max(n_req - 1, 0).bit_length()
         if self.mesh is not None:  # batch must split evenly over `data`
             n_data = self.mesh.shape.get("data", 1)
-            n_pad = max(n_pad, n_data)
+            # round UP to a multiple of n_data (max() only works when
+            # n_data is itself a power of two; data=6 would give n_pad=8
+            # and an uneven device_put split)
+            n_pad = -(-n_pad // n_data) * n_data
         reqs = list(reqs) + [reqs[-1]] * (n_pad - n_req)
         lens = [len(r.inputs[0]) for r in reqs]
         t_x = self._bucket(max(lens))

@@ -219,6 +219,11 @@ class Generator(nn.Module):
             if packed is not None:
                 from bert_vits2_tpu.ops.mrf_pallas import fused_mrf
 
+                # always mask (all-ones when the caller gave none): the
+                # kernel's padded halo zeros then reproduce the XLA
+                # ResBlock's implicit zero-pad semantics at the sequence
+                # edges; use_mask=False would feed conv1 bias values from
+                # the halo into conv2 and diverge in the first/last taps
                 mvec = (
                     stage_mask
                     if stage_mask is not None
@@ -228,7 +233,7 @@ class Generator(nn.Module):
                     x, mvec, packed,
                     tuple(self.resblock_kernel_sizes),
                     tuple(tuple(d) for d in self.resblock_dilation_sizes),
-                    use_mask=stage_mask is not None,
+                    use_mask=True,
                 )
             else:
                 # MXU lane fold: channels < 128 at long T are

@@ -441,19 +441,13 @@ class Trainer:
                 timer.tick()
                 self.global_step += 1
 
+                if self.global_step % log_interval == 0:
+                    # failure detection runs on EVERY process (a non-lead
+                    # that kept stepping would hang in collectives after
+                    # the lead died), not only on log steps — see the
+                    # second check guarding each save below
+                    m = self._assert_finite(metrics)
                 if self.global_step % log_interval == 0 and self.is_lead:
-                    m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-                    # failure detection: a NaN/inf loss means the run is
-                    # already unrecoverable — stop BEFORE the next periodic
-                    # save can overwrite a good checkpoint with poisoned
-                    # weights (resume then restarts from the last good one)
-                    bad = {k: v for k, v in m.items() if not np.isfinite(v)}
-                    if bad:
-                        raise FloatingPointError(
-                            f"non-finite training metrics at step "
-                            f"{self.global_step}: {bad}; last good "
-                            f"checkpoint is unaffected — rerun to resume"
-                        )
                     rate = timer.steps_per_sec()
                     self.logger.info(
                         "epoch %d step %d | g=%.3f d=%.3f mel=%.3f | "
@@ -467,20 +461,42 @@ class Trainer:
                                        "train_rtf": timer.rtf(seg_audio_s)})
 
                 if self.global_step % eval_interval == 0:
+                    # re-check right before the save, whatever the
+                    # log/eval interval relationship: a NaN step must
+                    # never overwrite the last good checkpoint
+                    self._assert_finite(metrics)
                     if self.is_lead:
                         self.evaluate()
                     self.save(keep_ckpts)
                 if stop["flag"]:
                     self.logger.info("SIGTERM: saving preemption checkpoint")
+                    self._assert_finite(metrics)
                     self.save(keep_ckpts)
                     if prev_term is not None:
                         signal.signal(signal.SIGTERM, prev_term)
                     return
                 if max_steps is not None and self.global_step >= max_steps:
+                    self._assert_finite(metrics)
                     self.save(keep_ckpts)
                     if prev_term is not None:
                         signal.signal(signal.SIGTERM, prev_term)
                     return
+
+    def _assert_finite(self, metrics) -> dict:
+        """Failure detection: a NaN/inf loss means the run is already
+        unrecoverable — stop BEFORE a save can overwrite a good checkpoint
+        with poisoned weights (resume then restarts from the last good one).
+        Pulls the metric scalars to host (one sync; called only at
+        log/save points)."""
+        m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        bad = {k: v for k, v in m.items() if not np.isfinite(v)}
+        if bad:
+            raise FloatingPointError(
+                f"non-finite training metrics at step "
+                f"{self.global_step}: {bad}; last good "
+                f"checkpoint is unaffected — rerun to resume"
+            )
+        return m
 
     def save(self, keep: int = 8):
         # strip the frozen WavLM BEFORE the device->host pull: it is an

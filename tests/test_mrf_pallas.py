@@ -87,3 +87,32 @@ def test_generator_fused_path_matches():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
     # masked tail is still silent
     assert np.abs(got[1, (t0 - 20) * 16 :]).max() == 0.0
+
+
+def test_generator_fused_path_matches_unmasked():
+    """y_mask=None: the fused path must still match the XLA ResBlock path.
+
+    The kernel runs with an internal all-ones mask so its padded halo zeros
+    reproduce the implicit zero-padding of the 'same' convs at the global
+    sequence edges (the first/last ~halo samples are where an unmasked
+    use_mask=False run would diverge)."""
+    gen = Generator(
+        initial_channel=8,
+        resblock_kernel_sizes=KS,
+        resblock_dilation_sizes=DS,
+        upsample_rates=(4, 4),
+        upsample_initial_channel=32,
+        upsample_kernel_sizes=(8, 8),
+        gin_channels=8,
+    )
+    rng = np.random.default_rng(11)
+    b, t0 = 2, 64
+    x = jnp.asarray(rng.normal(size=(b, t0, 8)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, 8)), jnp.float32)
+    params = gen.init(jax.random.key(0), x, g, None)["params"]
+    want = np.asarray(gen.apply({"params": params}, x, g, None))
+    packed = pack_generator_mrf(params, KS, DS, (4, 4), 32, jnp.float32)
+    got = np.asarray(
+        gen.apply({"params": params}, x, g, None, mrf_packed=packed)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
