@@ -114,42 +114,6 @@ def test_scan_unroll():
     _roundtrip(f, [x], n_out=2)
 
 
-@pytest.fixture(scope="module")
-def tiny_model():
-    from bert_vits2_tpu.models import ModelConfig, Synthesizer
-
-    cfg = ModelConfig(
-        n_vocab=20, bert_dim=1024, spec_channels=33, segment_size=8,
-        inter_channels=8, hidden_channels=8, filter_channels=16, n_heads=2,
-        n_layers=1, resblock_kernel_sizes=(3,),
-        resblock_dilation_sizes=((1, 3),), upsample_rates=(4, 4),
-        upsample_initial_channel=16, upsample_kernel_sizes=(8, 8),
-        n_speakers=4, gin_channels=8, n_layers_trans_flow=2,
-    )
-    model = Synthesizer(cfg)
-    b, t_x = 1, 8
-    rng0 = np.random.default_rng(0)
-    spec = jnp.zeros((b, 16, cfg.spec_channels), jnp.float32)
-    bert = jnp.asarray(rng0.normal(size=(b, t_x, 1024)), jnp.float32)
-    params = model.init(
-        {
-            "params": jax.random.key(0),
-            "noise": jax.random.key(1),
-            "dropout": jax.random.key(2),
-        },
-        jnp.asarray(rng0.integers(1, cfg.n_vocab, (b, t_x))),
-        jnp.asarray([t_x] * b),
-        spec,
-        jnp.asarray([16] * b),
-        jnp.asarray([0]),
-        jnp.asarray(rng0.integers(0, cfg.num_tones, (b, t_x))),
-        jnp.asarray(rng0.integers(0, cfg.num_languages, (b, t_x))),
-        bert,
-        bert,
-        bert,
-        deterministic=True,
-    )["params"]
-    return model, params
 
 
 def test_stage_export_verifies(tiny_model, tmp_path):
