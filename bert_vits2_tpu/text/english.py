@@ -89,14 +89,45 @@ def post_replace_ph(ph: str) -> str:
 
 
 # -------------------------------------------------- rule-based LTS fallback
+#
+# Festival-style ordered rewrite rules: context-sensitive grapheme clusters
+# checked longest-first at each position, plus magic-e long vowels, soft
+# c/g, silent onsets/codas, -ed/-s voicing, and one-primary-stress
+# normalization. Replaces g2p_en's neural fallback (reference
+# text/english.py:421) with deterministic rules that give plausible
+# syllable-bearing ARPABET for OOVs.
 
+_VOWELS = set("aeiou")
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+
+# suffix clusters (matched only at word end)
+_LTS_SUFFIX = [
+    ("tion", ["SH", "AH0", "N"]), ("ssion", ["SH", "AH0", "N"]),
+    ("sion", ["ZH", "AH0", "N"]),
+    ("cious", ["SH", "AH0", "S"]), ("tious", ["SH", "AH0", "S"]),
+    ("cial", ["SH", "AH0", "L"]), ("tial", ["SH", "AH0", "L"]),
+    ("ture", ["CH", "ER0"]), ("sure", ["ZH", "ER0"]),
+    ("able", ["AH0", "B", "AH0", "L"]), ("ible", ["AH0", "B", "AH0", "L"]),
+    ("ment", ["M", "AH0", "N", "T"]), ("ness", ["N", "AH0", "S"]),
+    ("ful", ["F", "AH0", "L"]), ("ous", ["AH0", "S"]),
+    ("ing", ["IH0", "NG"]), ("ship", ["SH", "IH0", "P"]),
+    ("ley", ["L", "IY0"]), ("ly", ["L", "IY0"]), ("ey", ["IY0"]),
+    ("air", ["EH1", "R"]), ("are", ["EH1", "R"]), ("ear", ["IH1", "R"]),
+    ("eer", ["IH1", "R"]), ("ould", ["UH1", "D"]),
+]
+
+# general clusters (anywhere), longest-first within the scan
 _LTS_DIGRAPHS = [
-    ("tch", ["CH"]), ("sch", ["S", "K"]), ("ght", ["T"]),
+    ("eigh", ["EY1"]), ("tch", ["CH"]), ("dge", ["JH"]),
+    ("igh", ["AY1"]), ("sch", ["S", "K"]), ("ght", ["T"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
-    ("oo", ["UW1"]), ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
+    ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
     ("ay", ["EY1"]), ("oa", ["OW1"]), ("ou", ["AW1"]), ("ow", ["AW1"]),
     ("oy", ["OY1"]), ("oi", ["OY1"]), ("au", ["AO1"]), ("aw", ["AO1"]),
+    ("ew", ["UW1"]), ("ue", ["UW1"]), ("ui", ["UW1"]), ("ei", ["IY1"]),
+    ("eu", ["UW1"]), ("oe", ["OW1"]), ("oo", ["UW1"]), ("ss", ["S"]),
     ("ar", ["AA1", "R"]), ("or", ["AO1", "R"]), ("er", ["ER0"]),
     ("ir", ["ER1"]), ("ur", ["ER1"]),
 ]
@@ -108,27 +139,133 @@ _LTS_SINGLE = {
     "u": ["AH1"], "v": ["V"], "w": ["W"], "x": ["K", "S"], "y": ["Y"],
     "z": ["Z"],
 }
+_MAGIC_E = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1",
+            "y": "AY1"}
+
+
+def _magic_e(word: str, i: int) -> bool:
+    """vowel + single consonant + final e (optionally +s/+d): long vowel."""
+    rest = word[i + 1:]
+    for tail in ("e", "es", "ed"):
+        if rest.endswith(tail):
+            mid = rest[: len(rest) - len(tail)]
+            if len(mid) == 1 and mid not in _VOWELS and mid != "r":
+                return True
+    return False
 
 
 def letter_to_sound(word: str) -> list[str]:
-    """Crude LTS for OOVs when g2p_en is unavailable."""
+    """Rule-based LTS for OOVs when g2p_en is unavailable."""
     word = word.lower()
+    word = "".join(c for c in word if c.isalpha())
+    if not word:
+        return []
+    # silent onsets / codas
+    for onset, repl in (("kn", "n"), ("gn", "n"), ("wr", "r"), ("ps", "s"),
+                        ("pn", "n"), ("mn", "n")):
+        if word.startswith(onset):
+            word = repl + word[len(onset):]
+    if word.endswith("mb"):
+        word = word[:-1]
+    # collapse doubled consonants up front (suffix rules then see the
+    # canonical spelling); ss is kept — it carries the -ssion/-ss quality
+    word = re.sub(r"([bcdfghjklmnpqrtvz])\1", r"\1", word)
     out: list[str] = []
     i = 0
-    while i < len(word):
+    n = len(word)
+    while i < n:
+        c = word[i]
+        rest = word[i:]
+        # word-final voicing-sensitive endings
+        if rest in ("ed",) and out:
+            if out[-1] in ("T", "D"):
+                out += ["IH0", "D"]
+            elif out[-1] in _VOICELESS:
+                out.append("T")
+            else:
+                out.append("D")
+            break
+        if rest in ("es",) and out:
+            if out[-1] in _SIBILANT:
+                out += ["IH0", "Z"]
+            elif out[-1] in _VOICELESS:
+                out.append("S")
+            else:
+                out.append("Z")
+            break
+        if rest == "s" and out:
+            out.append("S" if out[-1] in _VOICELESS else "Z")
+            break
+        if rest == "e" and out and len(word) > 2:
+            break  # final silent e
+        if rest == "y" and out:
+            out.append("IY0")
+            break
+        if rest == "a" and out:
+            out.append("AH0")  # final unstressed a: schwa
+            break
+        if rest == "le" and out and out[-1] not in (
+                "AE1", "EH1", "IH1", "AA1", "AH1"):
+            out += ["AH0", "L"]
+            break
         matched = False
-        for pat, phones in _LTS_DIGRAPHS:
-            if word.startswith(pat, i):
+        for pat, phones in _LTS_SUFFIX:
+            if rest == pat or (rest == pat + "s"):
                 out += phones
+                if rest.endswith("s") and rest != pat:
+                    out.append("Z" if phones[-1] not in _VOICELESS else "S")
+                i = n
+                matched = True
+                break
+        if matched:
+            break
+        # magic e
+        if c in _MAGIC_E and _magic_e(word, i):
+            out.append(_MAGIC_E[c])
+            i += 1
+            continue
+        for pat, phones in _LTS_DIGRAPHS:
+            if rest.startswith(pat):
+                # oo before k: book/look vowel
+                if pat == "oo" and word[i + 2: i + 3] == "k":
+                    out.append("UH1")
+                else:
+                    out += phones
                 i += len(pat)
                 matched = True
                 break
-        if not matched:
-            out += _LTS_SINGLE.get(word[i], [])
+        if matched:
+            continue
+        nxt = word[i + 1: i + 2]
+        if c == "c":
+            out.append("S" if nxt in ("e", "i", "y") else "K")
+        elif c == "g" and nxt in ("e", "i", "y"):
+            out.append("JH")
+        elif c == "s" and out and i + 1 < n and word[i - 1] in _VOWELS \
+                and nxt in _VOWELS:
+            out.append("Z")  # intervocalic s
+        elif c == "y" and out:
+            out.append("IH1")  # consonant-final y mid-word (gym)
+        elif c == "x" and not out:
+            out.append("Z")  # xylo-
+        else:
+            out += _LTS_SINGLE.get(c, [])
+        # collapse doubled consonants
+        if i + 1 < n and word[i + 1] == c and c not in _VOWELS:
             i += 1
-    # final silent e
-    if word.endswith("e") and len(word) > 2 and out and out[-1] == "EH1":
-        out.pop()
+        i += 1
+    # exactly one primary stress: keep the first "1" vowel, demote the rest
+    seen_primary = False
+    for k, p in enumerate(out):
+        if p.endswith("1"):
+            if seen_primary:
+                out[k] = p[:-1] + "0"
+            seen_primary = True
+    if not seen_primary:
+        for k, p in enumerate(out):
+            if p.endswith("0"):
+                out[k] = p[:-1] + "1"
+                break
     return out
 
 

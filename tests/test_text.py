@@ -333,3 +333,69 @@ class TestOpencpopStrictParity:
             assert list(pinyin_to_phones(syl)) == phones.split(), syl
             n += 1
         assert n == 429
+
+
+class TestEnglishLTS:
+    """Rule-based OOV letter-to-sound goldens (reference fallback is the
+    g2p_en neural model, text/english.py:421; ours is deterministic
+    festival-style rules — these pin its behavior on invented words)."""
+
+    CASES = {
+        "blorft": "B L AO1 R F T",
+        "plide": "P L AY1 D",
+        "vute": "V UW1 T",
+        "dastion": "D AE1 S SH AH0 N",
+        "kromble": "K R AA1 M B AH0 L",
+        "wrenkle": "R EH1 N K AH0 L",
+        "knopt": "N AA1 P T",
+        "phlember": "F L EH1 M B ER0",
+        "shoon": "SH UW1 N",
+        "caze": "K EY1 Z",
+        "cindle": "S IH1 N D AH0 L",
+        "gentrip": "JH EH1 N T R IH0 P",
+        "quilp": "K W IH1 L P",
+        "thrain": "TH R EY1 N",
+        "smackish": "S M AE1 K IH0 SH",
+        "dorbed": "D AO1 R B D",
+        "pilted": "P IH1 L T IH0 D",
+        "marps": "M AA1 R P S",
+        "tinds": "T IH1 N D Z",
+        "brices": "B R AY1 S IH0 Z",
+        "plides": "P L AY1 D Z",
+        "drook": "D R UH1 K",
+        "bight": "B AY1 T",
+        "weighly": "W EY1 L IY0",
+        "clission": "K L IH1 SH AH0 N",
+        "venture": "V EH1 N CH ER0",
+        "gracious": "G R AE1 SH AH0 S",
+        "zorbs": "Z AO1 R B Z",
+        "xendra": "Z EH1 N D R AH0",
+        "pyne": "P AY1 N",
+        "crumb": "K R AH1 M",
+        "glemment": "G L EH1 M AH0 N T",
+        "starbiness": "S T AA1 R B IH0 N AH0 S",
+        "fuzzle": "F AH1 Z AH0 L",
+    }
+
+    def test_goldens(self):
+        for word, want in self.CASES.items():
+            got = " ".join(english.letter_to_sound(word))
+            assert got == want, f"{word}: {got} != {want}"
+
+    def test_single_primary_stress_and_valid_phones(self):
+        from bert_vits2_tpu.text.symbols import SYMBOLS
+
+        for word in self.CASES:
+            phones = english.letter_to_sound(word)
+            assert sum(p.endswith("1") for p in phones) == 1, (word, phones)
+            for p in phones:
+                base = english.post_replace_ph(
+                    p[:-1].lower() if p[-1].isdigit() else p.lower())
+                assert base != "UNK" or p in ("UNK",), (word, p)
+
+    def test_oov_in_sentence_synthesizable(self):
+        norm, phones, tones, word2ph = clean_text(
+            "The blorft was quilp.", "EN"
+        )
+        assert "UNK" not in phones
+        assert sum(word2ph) == len(phones) == len(tones)
