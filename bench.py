@@ -366,46 +366,10 @@ def stage_sweep(sweep_budget: float) -> dict:
     return {"sweep": sweep}
 
 
-def analytic_infer_flops(cfg, b: int, t_x: int, frames: int) -> float:
-    """Analytic (useful) FLOPs of one batched infer call. Decoder convs
-    dominate; encoder/flow/duration terms are included at matmul order.
-    2 FLOPs per MAC."""
-    h = cfg.hidden_channels
-    f = cfg.filter_channels
-    d = cfg.inter_channels
-    fl = 0.0
-    # text encoder: n_layers x (qkvo + conv-ffn k=3) + proj
-    fl += cfg.n_layers * (4 * t_x * h * h + 2 * 3 * t_x * h * f
-                          + 2 * t_x * t_x * h)
-    fl += t_x * h * 2 * d
-    # duration predictors (DDSConv stacks, kernel 3, filter 256): coarse
-    fl += 10 * 3 * t_x * 256 * 256
-    # transformer flow (reverse): n_layers_trans_flow couplings
-    tf_layers = getattr(cfg, "n_layers_trans_flow", 4)
-    fl += tf_layers * (4 * frames * h * h + 2 * 3 * frames * h * f
-                       + 2 * frames * frames * h / 8  # banded attn window
-                       + 2 * frames * h * d)
-    # decoder
-    ch0 = cfg.upsample_initial_channel
-    fl += 7 * frames * d * ch0  # conv_pre
-    t = frames
-    c_in = ch0
-    for i, (u, k) in enumerate(
-        zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
-    ):
-        ch = ch0 // (2 ** (i + 1))
-        fl += k * t * c_in * ch  # ConvTranspose MACs (t_in taps)
-        t *= u
-        taps = sum(
-            2 * len(ds) * kk
-            for kk, ds in zip(
-                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes
-            )
-        )
-        fl += taps * t * ch * ch  # MRF convs
-        c_in = ch
-    fl += 7 * t * c_in * 1  # conv_post
-    return 2.0 * b * fl
+def analytic_infer_flops(cfg, b, t_x, frames):
+    from bert_vits2_tpu.utils.flops import analytic_infer_flops as f
+
+    return f(cfg, b, t_x, frames)
 
 
 def stage_train() -> dict:

@@ -87,6 +87,44 @@ def fetch_asset(root: str, subdir: str, repo_id: str) -> tuple[bool, str]:
         return False, f"download failed: {e}"
 
 
+def fetch_base_checkpoint(
+    root: str,
+    repo_id: str = "Stardust-minus/Bert-VITS2",
+    filename: str = "Bert-VITS2_2.3/G_0.pth",
+    dest: str = "pretrained",
+) -> tuple[bool, str]:
+    """Download the community V2.3 BASE generator checkpoint (the reference
+    project's fine-tuning starting point) and verify it STRUCTURALLY — the
+    state dict must contain the V2.3 synthesizer submodules — because a
+    byte hash cannot be pinned from an offline image. Never raises.
+
+    Used by tools/demo_real_ckpt.py --fetch; any V2.3-compatible G_*.pth
+    placed under <root>/pretrained/ works equally well.
+    """
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError:
+        return False, "huggingface_hub not installed"
+    try:
+        path = hf_hub_download(repo_id, filename,
+                               local_dir=os.path.join(root, dest))
+    except Exception as e:  # noqa: BLE001 - offline/no-auth are expected
+        return False, f"download failed: {e}"
+    try:
+        from bert_vits2_tpu.compat.torch_import import load_torch_checkpoint
+
+        ckpt = load_torch_checkpoint(path)
+        keys = set(ckpt["model"])
+        wanted_prefixes = ("enc_p.", "dec.", "flow.", "sdp.", "dp.")
+        missing = [p for p in wanted_prefixes
+                   if not any(k.startswith(p) for k in keys)]
+        if missing:
+            return False, f"{path}: not a V2.x generator (no {missing})"
+    except Exception as e:  # noqa: BLE001
+        return False, f"{path}: failed structural check: {e}"
+    return True, f"downloaded + verified {path}"
+
+
 def run(root: str, groups: list[str], fetch: bool) -> int:
     ok_all = True
     for group in groups:

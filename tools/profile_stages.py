@@ -97,6 +97,31 @@ if __name__ == "__main__":
     z = stages["flow"](z_p, y_mask, g)
     zin = z * y_mask[..., None]
 
+    # fused Pallas MRF vocoder tail (the production serve path)
+    from bert_vits2_tpu.models import Generator
+    from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+
+    mrf_packed = pack_generator_mrf(
+        params["params"]["dec"], cfg.resblock_kernel_sizes,
+        cfg.resblock_dilation_sizes, cfg.upsample_rates,
+        cfg.upsample_initial_channel, cfg.infer_compute_dtype,
+    )
+    gen = Generator(
+        initial_channel=cfg.inter_channels,
+        resblock_kernel_sizes=cfg.resblock_kernel_sizes,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+        upsample_rates=cfg.upsample_rates,
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+        gin_channels=cfg.gin_channels,
+        compute_dtype=cfg.infer_compute_dtype,
+    )
+
+    @jax.jit
+    def dec_fused(zin, g, y_mask):
+        return gen.apply({"params": params["params"]["dec"]}, zin, g, y_mask,
+                         mrf_packed=mrf_packed)
+
     times = {}
     times["emb"] = timeit(stages["emb"], batch["sid"])
     times["enc_p"] = timeit(
@@ -108,8 +133,26 @@ if __name__ == "__main__":
     times["align"] = timeit(align, w_ceil, x_mask, y_mask, m_p, logs_p, rng)
     times["flow"] = timeit(stages["flow"], z_p, y_mask, g)
     times["dec"] = timeit(stages["dec"], zin, g, y_mask)
+    times["dec_fused"] = timeit(dec_fused, zin, g, y_mask)
 
-    total = sum(times.values())
+    # stage x (time, FLOPs, TF/s, % of bf16 roofline) table
+    from bert_vits2_tpu.utils.flops import infer_stage_flops
+    from bench import peak_tflops
+
+    fl = infer_stage_flops(cfg, b, t_x, max_frames)
+    fl["dec_fused"] = fl["dec"]
+    peak = peak_tflops(jax.devices()[0].device_kind) or float("nan")
+    total = sum(v for k, v in times.items() if k != "dec_fused")
+    print(f"{'stage':10s} {'ms':>9s} {'%time':>6s} {'GFLOP':>9s} "
+          f"{'TF/s':>7s} {'%roof':>6s}")
     for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
-        print(f"{k:8s} {v*1e3:8.3f} ms  {100*v/total:5.1f}%")
-    print(f"{'total':8s} {total*1e3:8.3f} ms (stage sum; fused e2e is lower)")
+        fk = fl.get(k, 0.0)
+        tfs = fk / v / 1e12
+        print(f"{k:10s} {v*1e3:9.3f} {100*v/total:5.1f}% {fk/1e9:9.2f} "
+              f"{tfs:7.2f} {100*tfs/peak:5.1f}%")
+    print(f"{'total':10s} {total*1e3:9.3f} ms (stage sum, XLA dec; "
+          "fused e2e is lower)")
+    tot_f = total - times["dec"] + times["dec_fused"]
+    audio_s = b * max_frames * cfg.hop_length / 44100
+    print(f"{'tot_fused':10s} {tot_f*1e3:9.3f} ms -> "
+          f"{audio_s/tot_f:7.1f} audio-s/s capacity")
