@@ -101,17 +101,18 @@ def emit(out: dict) -> None:
     }), flush=True)
 
 
-def run_stage(stage: str, timeout_s: float, extra: list[str] | None = None):
+def run_stage(stage: str, timeout_s: float, extra: list[str] | None = None,
+              _cmd: list[str] | None = None, _min_timeout: float = 30.0):
     """Run one bench stage in its own process group with a hard timeout.
 
     Returns the stage's parsed JSON dict, or {"skipped"/"error": ...}.
     Subprocess isolation means a hung/multi-minute XLA compile can be killed
     without losing already-emitted results, and sequential stages never
-    contend for the single TPU chip.
+    contend for the single TPU chip. _cmd/_min_timeout are test hooks.
     """
-    if timeout_s < 30:
+    if timeout_s < _min_timeout:
         return {"skipped": f"bench budget exhausted ({budget_left():.0f}s left)"}
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    cmd = _cmd or [sys.executable, os.path.abspath(__file__), "--stage", stage]
     cmd += extra or []
     log(f"[bench] stage {stage} (timeout {timeout_s:.0f}s) ...")
     t0 = time.monotonic()

@@ -98,7 +98,6 @@ if __name__ == "__main__":
     zin = z * y_mask[..., None]
 
     # fused Pallas MRF vocoder tail (the production serve path)
-    from bert_vits2_tpu.models import Generator
     from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
 
     mrf_packed = pack_generator_mrf(
@@ -106,21 +105,14 @@ if __name__ == "__main__":
         cfg.resblock_dilation_sizes, cfg.upsample_rates,
         cfg.upsample_initial_channel, cfg.infer_compute_dtype,
     )
-    gen = Generator(
-        initial_channel=cfg.inter_channels,
-        resblock_kernel_sizes=cfg.resblock_kernel_sizes,
-        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
-        upsample_rates=cfg.upsample_rates,
-        upsample_initial_channel=cfg.upsample_initial_channel,
-        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
-        gin_channels=cfg.gin_channels,
-        compute_dtype=cfg.infer_compute_dtype,
-    )
 
     @jax.jit
     def dec_fused(zin, g, y_mask):
-        return gen.apply({"params": params["params"]["dec"]}, zin, g, y_mask,
-                         mrf_packed=mrf_packed)
+        return model.apply(
+            params,
+            method=lambda m: m.dec(zin, g=g, y_mask=y_mask,
+                                   mrf_packed=mrf_packed),
+        )
 
     times = {}
     times["emb"] = timeit(stages["emb"], batch["sid"])
