@@ -11,30 +11,56 @@ import dataclasses
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run(fn, args, iters):
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # force completion of the whole dispatch queue (block_until_ready is
-    # unreliable over the axon relay; a host transfer is not)
-    np.asarray(jax.tree.leaves(out)[0])
-    return time.perf_counter() - t0
+def timeit(fn, *args, n1=4, n2=16):
+    """Device-side loop timing: run the stage n times inside ONE jitted
+    lax.fori_loop, so per-iteration cost is pure device time — host->relay
+    dispatch (~ms per call over the axon tunnel) would otherwise swamp the
+    small stages (a host-loop difference method measured `flow` negative).
+    The first float input is perturbed by the loop index so XLA cannot
+    hoist the loop-invariant body; (t(n2) - t(n1)) / (n2 - n1) cancels the
+    fixed call + D2H-sync cost."""
+    import jax
+    import jax.numpy as jnp
 
+    args = list(args)
+    pi = next((i for i, a in enumerate(args)
+               if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                         jnp.floating)),
+              None)
 
-def timeit(fn, *args, n1=5, n2=25):
-    """Difference method: (t(n2)-t(n1))/(n2-n1) cancels the constant
-    dispatch/transfer overhead of the relay, leaving device time per call."""
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # compile + warm
-    t1 = _run(fn, args, n1)
-    t2 = _run(fn, args, n2)
+    @partial(jax.jit, static_argnames=("n",))
+    def loop(args, n):
+        def body(i, acc):
+            a = list(args)
+            if pi is not None:
+                a[pi] = a[pi] + (i.astype(a[pi].dtype) * jnp.asarray(
+                    1e-30, a[pi].dtype))
+            else:
+                # int-only stage (emb): i is in [0, 16), so i >> 30 adds
+                # zero but is not provably loop-invariant
+                a[0] = a[0] + (i >> 30).astype(a[0].dtype)
+            out = fn(*a)
+            leaf = jax.tree.leaves(out)[0]
+            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def t(n):
+        t0 = time.perf_counter()
+        np.asarray(loop(tuple(args), n))
+        return time.perf_counter() - t0
+
+    np.asarray(loop(tuple(args), n1))  # compile n1
+    np.asarray(loop(tuple(args), n2))  # compile n2
+    t1 = min(t(n1) for _ in range(2))
+    t2 = min(t(n2) for _ in range(2))
     return (t2 - t1) / (n2 - n1)
 
 

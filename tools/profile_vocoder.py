@@ -16,21 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run(fn, args, iters):
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(out)  # force completion (block_until_ready lies over the relay)
-    return time.perf_counter() - t0
-
-
-def timeit(fn, *args, n1=5, n2=25):
-    """Difference method: cancels constant dispatch/transfer overhead."""
-    np.asarray(fn(*args))  # compile + warm
-    t1 = _run(fn, args, n1)
-    t2 = _run(fn, args, n2)
-    return (t2 - t1) / (n2 - n1)
+from tools._timing import device_timeit as timeit  # noqa: E402
 
 
 if __name__ == "__main__":
@@ -97,6 +83,44 @@ if __name__ == "__main__":
         # transfer is 4 bytes (large-output transfers swamp the timing)
         f = jax.jit(lambda p, x, s=stage: jnp.sum(s.apply(p, x).astype(jnp.float32)))
         times[f"stage{i} ch{ch} T{t * u} f{fold}"] = timeit(f, params, x)
+        # fused Pallas MRF path (inference serve path) where supported
+        from bert_vits2_tpu.ops.mrf_pallas import (
+            fused_mrf, fused_mrf_supported, prepare_mrf_weights,
+        )
+
+        if fused_mrf_supported(ch, t * u, (3, 7, 11),
+                               ((1, 3, 5),) * 3):
+            blocks = [params["params"][f"rb_{j}"] for j in range(3)]
+            packed = prepare_mrf_weights(
+                blocks, (3, 7, 11), ((1, 3, 5),) * 3, dtype)
+
+            class StageF(nn.Module):
+                ch: int
+                k: int
+                u: int
+
+                @nn.compact
+                def __call__(self, x):
+                    x = jax.nn.leaky_relu(x, 0.1)
+                    x = ConvTranspose1d(
+                        self.ch, self.k, self.u,
+                        padding=(self.k - self.u) // 2,
+                        use_weight_norm=True,
+                        kernel_init=normal_init(0.01), name="up",
+                    )(x)
+                    ones = jnp.ones(x.shape[:2], x.dtype)
+                    return fused_mrf(x, ones, packed, (3, 7, 11),
+                                     ((1, 3, 5),) * 3)
+
+            stf = StageF(ch=ch, k=k, u=u)
+
+            def ff(p, x, s=stf):
+                return jnp.sum(s.apply(p, x).astype(jnp.float32))
+
+            times[f"  fused{i} ch{ch}"] = timeit(
+                jax.jit(ff), {"params": {"up": params["params"]["up"]}}, x)
+            flops[f"  fused{i} ch{ch}"] = flops_stage_placeholder = None
+
         up_only = UpOnly(ch=ch, k=k, u=u)
         pu = up_only.init(jax.random.key(i), x)
         fu = jax.jit(lambda p, x, s=up_only: jnp.sum(s.apply(p, x).astype(jnp.float32)))
@@ -105,6 +129,8 @@ if __name__ == "__main__":
         mrf = sum(6 * rk for rk in (3, 7, 11)) * ch * ch * (t * u)
         up = t * k * in_ch * ch
         flops[f"stage{i} ch{ch} T{t * u} f{fold}"] = 2 * b * (mrf + up)
+        if f"  fused{i} ch{ch}" in times:
+            flops[f"  fused{i} ch{ch}"] = 2 * b * (mrf + up)
         flops[f"  up{i} k{k} s{u} {in_ch}->{ch}"] = 2 * b * up
         t *= u
         in_ch = ch
