@@ -16,21 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run(fn, args, iters):
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    return time.perf_counter() - t0
-
-
-def timeit(fn, *args, n1=5, n2=25):
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    t1 = _run(fn, args, n1)
-    t2 = _run(fn, args, n2)
-    return (t2 - t1) / (n2 - n1)
+from tools._timing import device_timeit as timeit  # noqa: E402
 
 
 if __name__ == "__main__":
@@ -55,8 +41,24 @@ if __name__ == "__main__":
     masked = jax.jit(lambda p, x, g, m: model.apply(p, x, g=g, y_mask=m))
     unmasked = jax.jit(lambda p, x, g: model.apply(p, x, g=g))
 
+    # fused Pallas serve path for comparison
+    from bert_vits2_tpu.ops.mrf_pallas import pack_generator_mrf
+
+    packed = pack_generator_mrf(
+        params["params"], (3, 7, 11), ((1, 3, 5),) * 3,
+        (8, 8, 2, 2, 2), 512, jnp.bfloat16)
+    fusedm = jax.jit(
+        lambda p, x, g, m: model.apply(p, x, g=g, y_mask=m,
+                                       mrf_packed=packed))
+    fusedu = jax.jit(
+        lambda p, x, g: model.apply(p, x, g=g, mrf_packed=packed))
+
     t_m = timeit(masked, params, x, g, y_mask)
     t_u = timeit(unmasked, params, x, g)
-    print(f"dec masked   {t_m * 1e3:9.3f} ms")
-    print(f"dec unmasked {t_u * 1e3:9.3f} ms")
-    print(f"mask overhead {100 * (t_m - t_u) / t_m:6.1f}% of masked time")
+    t_fm = timeit(fusedm, params, x, g, y_mask)
+    t_fu = timeit(fusedu, params, x, g)
+    print(f"dec masked   (fold ) {t_m * 1e3:9.3f} ms")
+    print(f"dec unmasked (fold ) {t_u * 1e3:9.3f} ms")
+    print(f"dec masked   (fused) {t_fm * 1e3:9.3f} ms")
+    print(f"dec unmasked (fused) {t_fu * 1e3:9.3f} ms")
+    print(f"mask overhead {100 * (t_m - t_u) / t_m:6.1f}% of folded masked time")
