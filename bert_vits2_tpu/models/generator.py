@@ -208,16 +208,30 @@ class Generator(nn.Module):
                 stage_mask = mask[..., 0]
                 x = x * mask
             packed = None
-            if mrf_packed is not None and self.resblock == "1":
-                from bert_vits2_tpu.ops.mrf_pallas import fused_mrf_supported
+            if mrf_packed is not None and self.resblock == "1" \
+                    and mrf_packed[i] is not None:
+                from bert_vits2_tpu.ops.mrf_pallas import (
+                    fused_mrf_folded_supported,
+                    fused_mrf_supported,
+                )
 
-                if fused_mrf_supported(
-                    ch, x.shape[1], self.resblock_kernel_sizes,
-                    self.resblock_dilation_sizes,
-                ):
-                    packed = mrf_packed[i]
+                kind, payload = mrf_packed[i]
+                ok = (
+                    fused_mrf_folded_supported(
+                        ch, x.shape[1], self.resblock_kernel_sizes,
+                        self.resblock_dilation_sizes)
+                    if kind == "folded"
+                    else fused_mrf_supported(
+                        ch, x.shape[1], self.resblock_kernel_sizes,
+                        self.resblock_dilation_sizes)
+                )
+                if ok:
+                    packed = (kind, payload)
             if packed is not None:
-                from bert_vits2_tpu.ops.mrf_pallas import fused_mrf
+                from bert_vits2_tpu.ops.mrf_pallas import (
+                    fused_mrf,
+                    fused_mrf_folded,
+                )
 
                 # always mask (all-ones when the caller gave none): the
                 # kernel's padded halo zeros then reproduce the XLA
@@ -229,8 +243,10 @@ class Generator(nn.Module):
                     if stage_mask is not None
                     else jnp.ones(x.shape[:2], x.dtype)
                 )
-                x = fused_mrf(
-                    x, mvec, packed,
+                kind, payload = packed
+                fn = fused_mrf_folded if kind == "folded" else fused_mrf
+                x = fn(
+                    x, mvec, payload,
                     tuple(self.resblock_kernel_sizes),
                     tuple(tuple(d) for d in self.resblock_dilation_sizes),
                     use_mask=True,

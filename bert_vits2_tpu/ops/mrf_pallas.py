@@ -93,22 +93,27 @@ def pack_generator_mrf(
 ) -> list:
     """Per-upsample-stage packed MRF weights for Generator(..., mrf_packed=).
 
-    Entries are None for stages the kernel does not target (c > 128);
-    otherwise the prepare_mrf_weights output for that stage's blocks.
-    dec_params: the Generator's param subtree (params["dec"])."""
+    Entries are None for stages the kernels do not target (c >= 128);
+    otherwise ("folded", weights) when the phase-fold kernel applies
+    (128 % c == 0 — all 128 MXU rows busy) or ("plain", weights) for the
+    original narrow-M kernel. dec_params: the Generator's param subtree
+    (params["dec"])."""
     n_k = len(kernel_sizes)
     out = []
     for i in range(len(upsample_rates)):
         ch = upsample_initial_channel // (2 ** (i + 1))
-        if not (0 < ch < 128 and ch % 8 == 0):
+        if not (0 < ch <= 128 and ch % 8 == 0):
             out.append(None)
             continue
         blocks = [
             dec_params[f"resblocks_{i * n_k + j}"] for j in range(n_k)
         ]
-        out.append(
-            prepare_mrf_weights(blocks, kernel_sizes, dilation_sizes, dtype)
-        )
+        if _LANE % ch == 0 and _LANE // ch > 1:
+            out.append(("folded", prepare_mrf_weights_folded(
+                blocks, kernel_sizes, dilation_sizes, _LANE // ch, dtype)))
+        else:
+            out.append(("plain", prepare_mrf_weights(
+                blocks, kernel_sizes, dilation_sizes, dtype)))
     return out
 
 
@@ -199,12 +204,12 @@ def _pick_tile(c: int, t: int) -> int | None:
 
 
 def fused_mrf_supported(c: int, t: int, kernel_sizes, dilations) -> bool:
-    """The kernel targets the small-channel decoder tail: measured on
-    v5e, fused wins 1.6-2.2x for C in {16,32,64} while C=128 is 0.7x (the
-    plain dense conv already runs ~80% of MXU peak there) — see
-    tools/profile_mrf.py."""
+    """The narrow-M kernel: used at C=128 (M fills the MXU exactly; fused
+    HBM traffic + free in-VMEM masking beat the XLA conv whose per-conv
+    re-masking costs ~22% — tools/profile_dec_mask.py) and as fallback for
+    C%8==0 channels the folded kernel cannot take (128 % C != 0)."""
     return (
-        0 < c < 128
+        0 < c <= 128
         and c % 8 == 0
         and _pick_tile(c, t) is not None
         and len(kernel_sizes) == len(dilations)
@@ -330,3 +335,281 @@ def _fused_mrf(
     # [B, n_tiles, C, tile] -> [B, C, T] -> [B, T, C]
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, c, t)
     return jnp.transpose(out, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# folded variant: phase-folded layout fills all 128 MXU rows for C < 128
+# ---------------------------------------------------------------------------
+#
+# The plain kernel's matmuls have M = C_out output rows; the MXU computes
+# 128-row tiles, so stages with C in {16, 32, 64} run at <= C/128 of peak
+# (measured 12-51 TF/s, tools/profile_vocoder.py). Folding f = 128/C time
+# phases into the row dimension makes every output tile [f*C = 128, N]:
+#
+#   x_fold[j*C + c, n] = x[c, n*f + j]          (fold outside, one relayout)
+#   y_fold = W_big @ XT                         (M = 128, dense rows)
+#
+# where XT stacks one [C, W] slab per DISTINCT flat tap offset
+# s = j + (i - (k-1)/2) * d over output phases j and taps i (slab s lives at
+# fold row-block (s mod f) shifted (s div f) columns — a plain block copy),
+# and W_big[j*C + c_out, (s - s_min)*C + c_in] holds the tap weight wherever
+# s is one of phase j's taps, zero elsewhere. Useful-MAC density is
+# k / slabs = k / (f + (k-1)d); with all rows busy the effective ceiling
+# rises from C/128 * peak to density * peak — 2-4x for the tail stages.
+# Centered taps keep every intermediate aligned to the input's flat
+# positions, so residual adds and masks are plain column slices.
+
+
+def _conv_geom(k: int, d: int, f: int):
+    """-> (s_min, n_slabs, hL_cols, hR_cols) for a centered (k, d) conv in
+    f-fold layout."""
+    s_min = -((k - 1) // 2) * d
+    s_max = (f - 1) + ((k - 1) // 2) * d
+    hl = (-s_min + f - 1) // f
+    hr = s_max // f
+    return s_min, s_max - s_min + 1, hl, hr
+
+
+def _block_halo_cols(kernel_sizes, dilations, f: int) -> int:
+    """Max per-side column halo over the block chains (left and right
+    consumption differ; the tile is padded by the worst of either side)."""
+    worst = 0
+    for k, ds in zip(kernel_sizes, dilations):
+        tot_l = tot_r = 0
+        for d in ds:
+            _, _, hl1, hr1 = _conv_geom(k, d, f)
+            _, _, hl2, hr2 = _conv_geom(k, 1, f)
+            tot_l += hl1 + hl2
+            tot_r += hr1 + hr2
+        worst = max(worst, tot_l, tot_r)
+    return worst
+
+
+def prepare_mrf_weights_folded(blocks: list, kernel_sizes, dilations,
+                               f: int, dtype):
+    """Weight-norm-resolved, phase-folded weights.
+
+    -> per block: list over dilation stages of
+       ((W1_big [f*C, slabs1*C], b1 [f*C]), (W2_big, b2)).
+    """
+
+    def resolve(conv):
+        v, g = conv["v"], conv["g"]
+        norm = jnp.linalg.norm(v.reshape(-1, v.shape[-1]), axis=0)
+        w = v * (g / jnp.maximum(norm, 1e-12))  # [k, C_in, C_out]
+        return w, conv["bias"]
+
+    def fold_w(w, bias, k, d):
+        c = w.shape[1]
+        s_min, slabs, _, _ = _conv_geom(k, d, f)
+        big = jnp.zeros((f * c, slabs * c), w.dtype)
+        for j in range(f):
+            for i in range(k):
+                sp = j + (i - (k - 1) // 2) * d - s_min
+                big = big.at[j * c:(j + 1) * c,
+                             sp * c:(sp + 1) * c].set(w[i].T)
+        return big.astype(dtype), jnp.tile(bias, f).astype(jnp.float32)
+
+    packed = []
+    for j, (k, ds) in enumerate(zip(kernel_sizes, dilations)):
+        blk = blocks[j]
+        stages = []
+        for s, d in enumerate(ds):
+            w1, b1 = resolve(blk[f"convs1_{s}"])
+            w2, b2 = resolve(blk[f"convs2_{s}"])
+            stages.append((fold_w(w1, b1, k, d), fold_w(w2, b2, k, 1)))
+        packed.append(stages)
+    return packed
+
+
+def _mrf_folded_kernel(
+    *refs,  # x [1,1,fC,Wc], mask [1,1,fC,Wc], per-conv (w, b)..., out, col
+    kernel_sizes,
+    dilations,
+    f,
+    halo_cols,
+    t_cols,
+    use_mask,
+):
+    x_ref, m_ref = refs[0], refs[1]
+    wb_refs = refs[2:-2]
+    o_ref, col_ref = refs[-2], refs[-1]
+    cdt = x_ref.dtype
+    x0 = x_ref[0, 0]  # [fC, Wc]
+    mask = m_ref[0, 0] if use_mask else None  # [fC, Wc] (pre-broadcast)
+    fc = x0.shape[0]
+    c = fc // f
+    acc = jnp.zeros((fc, t_cols), jnp.float32)
+
+    def conv(xb, w_big, bias, k, d, w_out):
+        s_min, slabs, hl, hr = _conv_geom(k, d, f)
+        for sp in range(slabs):
+            s = sp + s_min
+            ph = s % f
+            shift = s // f  # floor division: negative s shifts left
+            col_ref[sp * c:(sp + 1) * c, :w_out] = (
+                xb[ph * c:(ph + 1) * c, hl + shift: hl + shift + w_out]
+            )
+        xt = col_ref[0:slabs * c, 0:w_out]
+        y = jax.lax.dot_general(
+            w_big[...], xt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias[...][:, None]).astype(cdt)
+
+    wb_i = 0
+    n_blocks = len(kernel_sizes)
+    for j in range(n_blocks):
+        k = kernel_sizes[j]
+        ds = dilations[j]
+        xb = x0
+        off = 0  # left columns consumed so far (output col 0 of xb maps to
+        #          slab col `off`; centered taps keep flat alignment)
+        for d in ds:
+            w1_ref, b1_ref, w2_ref, b2_ref = wb_refs[wb_i:wb_i + 4]
+            wb_i += 4
+            w_in = xb.shape[1]
+            _, _, hl1, hr1 = _conv_geom(k, d, f)
+            _, _, hl2, hr2 = _conv_geom(k, 1, f)
+            xt = jnp.maximum(xb, LRELU_SLOPE * xb)
+            if mask is not None:
+                xt = xt * mask[:, off:off + w_in].astype(cdt)
+            w1_out = w_in - hl1 - hr1
+            xt = conv(xt, w1_ref, b1_ref, k, d, w1_out)
+            xt = jnp.maximum(xt, LRELU_SLOPE * xt)
+            if mask is not None:
+                xt = xt * mask[:, off + hl1: off + hl1 + w1_out].astype(cdt)
+            w2_out = w1_out - hl2 - hr2
+            xt = conv(xt, w2_ref, b2_ref, k, 1, w2_out)
+            shrink = hl1 + hl2
+            xb = xt + xb[:, shrink: shrink + w2_out]
+            off += shrink
+        lead = halo_cols - off
+        blk = xb[:, lead: lead + t_cols]
+        if mask is not None:
+            blk = blk * mask[:, halo_cols: halo_cols + t_cols].astype(cdt)
+        acc = acc + blk.astype(jnp.float32)
+
+    o_ref[0, 0] = (acc / n_blocks).astype(o_ref.dtype)
+
+
+def _pick_tile_cols(c: int, t_cols: int) -> int | None:
+    # VMEM budget: im2col scratch (max_slabs*C rows) + the folded weight
+    # tables; larger C means more slab rows, so shrink the tile
+    cap = 1024 if c <= 16 else (512 if c <= 32 else 256)
+    for tile in (1024, 512, 256, 128, 64, 32):
+        if tile <= cap and t_cols % tile == 0:
+            return tile
+    return None
+
+
+def fused_mrf_folded_supported(c: int, t: int, kernel_sizes,
+                               dilations) -> bool:
+    f = _LANE // c if 0 < c < _LANE and _LANE % c == 0 else 1
+    return (
+        f > 1
+        and t % f == 0
+        and _pick_tile_cols(c, t // f) is not None
+        and len(kernel_sizes) == len(dilations)
+    )
+
+
+def fused_mrf_folded(
+    x,
+    mask,
+    packed_folded,
+    kernel_sizes: tuple,
+    dilations: tuple,
+    use_mask: bool = True,
+    interpret: bool | None = None,
+):
+    """Folded fused MRF: x [B, T, C] -> [B, T, C]; C in {16, 32, 64}.
+
+    packed_folded: prepare_mrf_weights_folded output. mask: [B, T]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_mrf_folded(
+        x, mask, packed_folded,
+        kernel_sizes=tuple(kernel_sizes),
+        dilations=tuple(tuple(d) for d in dilations),
+        use_mask=use_mask,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations", "use_mask", "interpret"),
+)
+def _fused_mrf_folded(
+    x,
+    mask,
+    packed_folded,
+    kernel_sizes: tuple,
+    dilations: tuple,
+    use_mask: bool = True,
+    interpret: bool = False,
+):
+    b, t, c = x.shape
+    f = _LANE // c
+    t_cols = t // f
+    halo = _block_halo_cols(kernel_sizes, dilations, f)
+    tile = _pick_tile_cols(c, t_cols)
+    if tile is None:
+        raise ValueError(f"T={t} (cols {t_cols}) has no supported tile")
+    n_tiles = t_cols // tile
+
+    # fold: [B, T, C] -> [B, f*C, T/f] with row j*C + c = (phase j, chan c)
+    x_f = x.reshape(b, t_cols, f, c).transpose(0, 2, 3, 1)
+    x_f = x_f.reshape(b, f * c, t_cols)
+    x_f = jnp.pad(x_f, ((0, 0), (0, 0), (halo, halo)))
+    m_f = mask.astype(x.dtype).reshape(b, t_cols, f).transpose(0, 2, 1)
+    m_f = jnp.repeat(m_f, c, axis=1)  # [B, f*C, T/f] broadcast rows
+    m_f = jnp.pad(m_f, ((0, 0), (0, 0), (halo, halo)))
+
+    w = tile + 2 * halo
+    starts = np.arange(n_tiles) * tile
+    slabs = jnp.stack(
+        [jax.lax.dynamic_slice(x_f, (0, 0, int(s)), (b, f * c, w))
+         for s in starts], axis=1)
+    m_slabs = jnp.stack(
+        [jax.lax.dynamic_slice(m_f, (0, 0, int(s)), (b, f * c, w))
+         for s in starts], axis=1)
+
+    flat_wb = []
+    max_slab_rows = 0
+    for blk, (k, ds) in zip(packed_folded, zip(kernel_sizes, dilations)):
+        for (w1, b1), (w2, b2) in blk:
+            flat_wb += [w1, b1, w2, b2]
+            max_slab_rows = max(max_slab_rows, w1.shape[1], w2.shape[1])
+
+    kernel = functools.partial(
+        _mrf_folded_kernel,
+        kernel_sizes=tuple(kernel_sizes),
+        dilations=tuple(tuple(d) for d in dilations),
+        f=f,
+        halo_cols=halo,
+        t_cols=tile,
+        use_mask=use_mask,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, f * c, w), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f * c, w), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_wb],
+        out_specs=pl.BlockSpec(
+            (1, 1, f * c, tile), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, f * c, tile), x.dtype),
+        scratch_shapes=[pltpu.VMEM((max_slab_rows, w), x.dtype)],
+        interpret=interpret,
+    )(slabs, m_slabs, *flat_wb)
+
+    # unfold: [B, n_tiles, fC, tile] -> [B, T, C]
+    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(b, t_cols, f, c)
+    return out.reshape(b, t, c)

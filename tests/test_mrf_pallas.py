@@ -116,3 +116,55 @@ def test_generator_fused_path_matches_unmasked():
         gen.apply({"params": params}, x, g, None, mrf_packed=packed)
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("c,t", [(16, 1024), (32, 512), (64, 256)])
+def test_folded_matches_resblock_stack(c, t):
+    """Phase-folded kernel (M = 128 MXU rows) vs the XLA ResBlock path."""
+    from bert_vits2_tpu.ops.mrf_pallas import (
+        fused_mrf_folded,
+        fused_mrf_folded_supported,
+        prepare_mrf_weights_folded,
+    )
+
+    f = 128 // c
+    rng = np.random.default_rng(c)
+    x = jnp.asarray(rng.normal(size=(2, t, c)), jnp.float32)
+    lens = [t, t - 57]
+    mask = jnp.asarray(
+        (np.arange(t)[None, :] < np.asarray(lens)[:, None]).astype(np.float32)
+    )
+    m = _MRF(c)
+    params = m.init(jax.random.key(0), x, mask)["params"]
+    want = np.asarray(m.apply({"params": params}, x, mask))
+    assert fused_mrf_folded_supported(c, t, KS, DS)
+    packed = prepare_mrf_weights_folded(
+        [params[f"rb_{j}"] for j in range(3)], KS, DS, f, jnp.float32
+    )
+    got = np.asarray(fused_mrf_folded(x, mask, packed, KS, DS))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+    # masked tail silent
+    assert np.abs(got[1, t - 40:]).max() == 0.0
+
+
+def test_plain_kernel_at_c128():
+    """C=128: the narrow-M kernel fills the MXU exactly; parity check."""
+    from bert_vits2_tpu.ops.mrf_pallas import (
+        fused_mrf,
+        fused_mrf_supported,
+        prepare_mrf_weights,
+    )
+
+    c, t = 128, 256
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, t, c)), jnp.float32)
+    mask = jnp.ones((1, t), jnp.float32)
+    m = _MRF(c)
+    params = m.init(jax.random.key(0), x, mask)["params"]
+    want = np.asarray(m.apply({"params": params}, x, mask))
+    assert fused_mrf_supported(c, t, KS, DS)
+    packed = prepare_mrf_weights(
+        [params[f"rb_{j}"] for j in range(3)], KS, DS, jnp.float32
+    )
+    got = np.asarray(fused_mrf(x, mask, packed, KS, DS))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -16,6 +16,24 @@ from functools import partial
 import numpy as np
 
 
+def setup_cache():
+    """Point jax at the repo's persistent compilation cache (remote
+    compiles are multi-minute and the relay connection sometimes drops —
+    a warm cache makes reruns resumable)."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def device_timeit(fn, *args, n1: int = 4, n2: int = 16) -> float:
     import jax
     import jax.numpy as jnp

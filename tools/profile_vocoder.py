@@ -16,11 +16,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-from tools._timing import device_timeit as timeit  # noqa: E402
+from tools._timing import device_timeit as timeit, setup_cache  # noqa: E402
 
 
 if __name__ == "__main__":
     import jax
+
+    setup_cache()
     import jax.numpy as jnp
     import flax.linen as nn
 
