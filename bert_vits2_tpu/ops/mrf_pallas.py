@@ -102,13 +102,19 @@ def pack_generator_mrf(
     out = []
     for i in range(len(upsample_rates)):
         ch = upsample_initial_channel // (2 ** (i + 1))
-        if not (0 < ch <= 128 and ch % 8 == 0):
+        if not (0 < ch < 128 and ch % 8 == 0):
             out.append(None)
             continue
         blocks = [
             dec_params[f"resblocks_{i * n_k + j}"] for j in range(n_k)
         ]
-        if _LANE % ch == 0 and _LANE // ch > 1:
+        # measured dispatch (tools/profile_vocoder.py, device-loop timing,
+        # v5e bf16): the folded kernel wins only where the fold factor
+        # outruns the dilation spread (slabs = f + (k-1)d grows with d, and
+        # each K=slabs*C pass is dense) -> folded at C<=16 (f>=8), the
+        # narrow-M kernel for 24..112, XLA for C>=128 (M already full and
+        # the plain conv runs 158-194 TF/s there)
+        if _LANE % ch == 0 and _LANE // ch >= 8:
             out.append(("folded", prepare_mrf_weights_folded(
                 blocks, kernel_sizes, dilation_sizes, _LANE // ch, dtype)))
         else:
@@ -204,12 +210,13 @@ def _pick_tile(c: int, t: int) -> int | None:
 
 
 def fused_mrf_supported(c: int, t: int, kernel_sizes, dilations) -> bool:
-    """The narrow-M kernel: used at C=128 (M fills the MXU exactly; fused
-    HBM traffic + free in-VMEM masking beat the XLA conv whose per-conv
-    re-masking costs ~22% — tools/profile_dec_mask.py) and as fallback for
-    C%8==0 channels the folded kernel cannot take (128 % C != 0)."""
+    """The narrow-M kernel targets the small-channel tail (C < 128):
+    in-VMEM masking is free (the XLA path pays ~22% for per-conv
+    re-masking, tools/profile_dec_mask.py) and one HBM read+write replaces
+    ~19 round trips; at C=128 the plain XLA conv already runs 158+ TF/s
+    and beats it, so that stage stays on XLA."""
     return (
-        0 < c <= 128
+        0 < c < 128
         and c % 8 == 0
         and _pick_tile(c, t) is not None
         and len(kernel_sizes) == len(dilations)

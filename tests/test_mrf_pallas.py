@@ -147,24 +147,38 @@ def test_folded_matches_resblock_stack(c, t):
     assert np.abs(got[1, t - 40:]).max() == 0.0
 
 
-def test_plain_kernel_at_c128():
-    """C=128: the narrow-M kernel fills the MXU exactly; parity check."""
+def test_dispatch_boundaries():
+    """Measured dispatch (v5e, device-loop timing): XLA keeps C>=128 (the
+    plain conv already runs 158-194 TF/s with M full), the narrow-M kernel
+    takes 24..112, and the phase-folded kernel takes C<=16 where the fold
+    factor outruns the dilation spread."""
     from bert_vits2_tpu.ops.mrf_pallas import (
-        fused_mrf,
+        fused_mrf_folded_supported,
         fused_mrf_supported,
-        prepare_mrf_weights,
+        pack_generator_mrf,
     )
 
-    c, t = 128, 256
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=(1, t, c)), jnp.float32)
-    mask = jnp.ones((1, t), jnp.float32)
-    m = _MRF(c)
-    params = m.init(jax.random.key(0), x, mask)["params"]
-    want = np.asarray(m.apply({"params": params}, x, mask))
-    assert fused_mrf_supported(c, t, KS, DS)
-    packed = prepare_mrf_weights(
-        [params[f"rb_{j}"] for j in range(3)], KS, DS, jnp.float32
-    )
-    got = np.asarray(fused_mrf(x, mask, packed, KS, DS))
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    assert not fused_mrf_supported(128, 1024, KS, DS)
+    assert fused_mrf_supported(64, 1024, KS, DS)
+    assert fused_mrf_folded_supported(16, 1024, KS, DS)
+
+    import flax.linen as nn
+
+    class _Blocks(nn.Module):
+        chans = (256, 128, 64, 32, 16)
+
+        @nn.compact
+        def __call__(self):
+            outs = []
+            for i, c in enumerate(self.chans):
+                for j, (k, d) in enumerate(zip(KS, DS)):
+                    blk = ResBlock1(c, k, d, time_fold=1,
+                                    name=f"resblocks_{i * 3 + j}")
+                    outs.append(blk(jnp.zeros((1, 32, c)), None))
+            return outs
+
+    params = _Blocks().init(jax.random.key(0))["params"]
+    packed = pack_generator_mrf(params, KS, DS, (8, 8, 2, 2, 2), 512,
+                                jnp.float32)
+    kinds = [None if p is None else p[0] for p in packed]
+    assert kinds == [None, None, "plain", "plain", "folded"]
