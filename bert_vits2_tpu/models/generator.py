@@ -215,7 +215,7 @@ class Generator(nn.Module):
                     fused_mrf_supported,
                 )
 
-                kind, payload = mrf_packed[i]
+                kind, payload = next(iter(mrf_packed[i].items()))
                 ok = (
                     fused_mrf_folded_supported(
                         ch, x.shape[1], self.resblock_kernel_sizes,

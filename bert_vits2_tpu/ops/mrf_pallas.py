@@ -94,10 +94,9 @@ def pack_generator_mrf(
     """Per-upsample-stage packed MRF weights for Generator(..., mrf_packed=).
 
     Entries are None for stages the kernels do not target (c >= 128);
-    otherwise ("folded", weights) when the phase-fold kernel applies
-    (128 % c == 0 — all 128 MXU rows busy) or ("plain", weights) for the
-    original narrow-M kernel. dec_params: the Generator's param subtree
-    (params["dec"])."""
+    otherwise {"folded": weights} when the phase-fold kernel applies
+    (C <= 16) or {"plain": weights} for the narrow-M kernel.
+    dec_params: the Generator's param subtree (params["dec"])."""
     n_k = len(kernel_sizes)
     out = []
     for i in range(len(upsample_rates)):
@@ -114,12 +113,15 @@ def pack_generator_mrf(
         # each K=slabs*C pass is dense) -> folded at C<=16 (f>=8), the
         # narrow-M kernel for 24..112, XLA for C>=128 (M already full and
         # the plain conv runs 158-194 TF/s there)
+        # single-key dicts, not (tag, payload) tuples: the pack rides
+        # through jit as a traced argument, so the tag must live in the
+        # static pytree STRUCTURE (dict key), not in a leaf
         if _LANE % ch == 0 and _LANE // ch >= 8:
-            out.append(("folded", prepare_mrf_weights_folded(
-                blocks, kernel_sizes, dilation_sizes, _LANE // ch, dtype)))
+            out.append({"folded": prepare_mrf_weights_folded(
+                blocks, kernel_sizes, dilation_sizes, _LANE // ch, dtype)})
         else:
-            out.append(("plain", prepare_mrf_weights(
-                blocks, kernel_sizes, dilation_sizes, dtype)))
+            out.append({"plain": prepare_mrf_weights(
+                blocks, kernel_sizes, dilation_sizes, dtype)})
     return out
 
 

@@ -180,5 +180,5 @@ def test_dispatch_boundaries():
     params = _Blocks().init(jax.random.key(0))["params"]
     packed = pack_generator_mrf(params, KS, DS, (8, 8, 2, 2, 2), 512,
                                 jnp.float32)
-    kinds = [None if p is None else p[0] for p in packed]
+    kinds = [None if p is None else next(iter(p)) for p in packed]
     assert kinds == [None, None, "plain", "plain", "folded"]
