@@ -241,3 +241,32 @@ class TestFullTable:
         # every hanzi here is OUTSIDE the hand lexicon (layer-3 only)
         _, phones, _, _ = clean_text("鹦鹉栖息在庐山的峭壁", "ZH")
         assert "UNK" not in phones
+
+
+class TestTableProvenance:
+    def test_builder_reproduces_shipped_asset(self):
+        """tools/build_zh_pinyin_table.py rebuilt from the CLDR collation
+        data in /usr/share/perl + the curated fills must reproduce the
+        committed asset exactly (provenance: the table is derived data,
+        not opaque)."""
+        import os
+        import sys
+
+        cjk = "/usr/share/perl/5.36.0/Unicode/Collate/CJK/Pinyin.pm"
+        if not os.path.exists(cjk):
+            pytest.skip("CLDR collation data not in this image")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        try:
+            from build_zh_pinyin_table import main as build_main
+        finally:
+            sys.path.pop(0)
+        resolved, violations = build_main(write=False)
+        assert violations == []
+        rebuilt = {}
+        for _, reading, chars, _, _ in resolved:
+            if reading is None:
+                continue
+            for ch in chars:
+                rebuilt.setdefault(ch, reading)
+        assert rebuilt == ext_pinyin()
