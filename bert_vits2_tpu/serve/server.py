@@ -74,6 +74,13 @@ class TTSService:
                 self._batchers[key] = b
         return b
 
+    def close(self):
+        """Join every micro-batcher worker thread (server shutdown)."""
+        with self.lock:
+            batchers, self._batchers = list(self._batchers.values()), {}
+        for b in batchers:
+            b.close()
+
     def random_example(self, language: str | None = None):
         """A random (text, speaker, language) row from the loaded filelists
         (hiyoriUI.py /tools/random_example)."""
@@ -455,7 +462,13 @@ def make_server(
         max_batch=max_batch, batch_delay_ms=batch_delay_ms,
     )
     handler = type("BoundHandler", (_Handler,), {"service": service})
-    return ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):  # join batcher workers, not just sockets
+            service.close()
+            super().server_close()
+
+    return _Server((host, port), handler)
 
 
 def main():

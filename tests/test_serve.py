@@ -145,6 +145,7 @@ def http_server():
     thread.start()
     yield f"http://127.0.0.1:{port}"
     srv.shutdown()
+    srv.server_close()  # joins micro-batcher worker threads
 
 
 class TestHTTPServer:
