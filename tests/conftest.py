@@ -64,3 +64,19 @@ def tiny_model():
         deterministic=True,
     )["params"]
     return model, params
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_xla_caches():
+    """Drop compiled-executable caches between test modules.
+
+    The full suite runs ~300 tests in one process on a small host; XLA:CPU
+    executables accumulate across modules and the resulting memory pressure
+    has produced a late-suite segfault. Each module recompiles what it needs
+    anyway, so clearing between modules costs little and caps the footprint.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
