@@ -469,20 +469,35 @@ def stage_train() -> dict:
     key = jax.random.key(11)
     lr = jnp.float32(2e-4)
     log("compiling train step ...")
-    state, metrics = step_fn(state, batch, key, lr)
+    # AOT-compile so the executable's cost analysis is readable afterwards
+    # (same persistent-cache key as the traced call would use)
+    compiled = step_fn.lower(state, batch, key, lr).compile()
+    state, metrics = compiled(state, batch, key, lr)
     jax.block_until_ready(metrics)
     n = 8
     t0 = time.perf_counter()
     for i in range(n):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i), lr)
+        state, metrics = compiled(state, batch, jax.random.fold_in(key, i), lr)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / n
-    return {
+    out = {
         "steps_per_s": round(1.0 / dt, 3),
         "utt_audio_s_per_s": round(b * t_y * hop / sr / dt, 1),
         "batch": b, "spec_frames": t_y, "bf16": True, "slm": True,
         "loss_g_total": round(float(np.asarray(metrics["loss/g/total"])), 3),
     }
+    # hw_flops_pct: XLA cost-analysis FLOPs of the compiled GAN step / wall
+    # / chip peak. Same caveat as the headline number: excludes the Pallas
+    # kernels (MAS, banded attention), so it UNDERcounts real work.
+    peak = peak_tflops(dev.device_kind)
+    try:
+        tflops_s = compiled.cost_analysis()["flops"] / dt / 1e12
+        out["tflops_per_s"] = round(tflops_s, 2)
+        if peak:
+            out["hw_flops_pct"] = round(100.0 * tflops_s / peak, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"train cost_analysis unavailable: {e}")
+    return out
 
 
 if __name__ == "__main__":
