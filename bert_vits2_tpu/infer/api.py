@@ -18,7 +18,12 @@ from typing import Callable, NamedTuple, Sequence
 import numpy as np
 
 from bert_vits2_tpu.text import clean_text, cleaned_text_to_sequence
-from bert_vits2_tpu.text.bert import BERT_DIM, RandomBertExtractor, expand_word2ph
+from bert_vits2_tpu.text.bert import (
+    BERT_DIM,
+    AutoBertExtractor,
+    RandomBertExtractor,
+    expand_word2ph,
+)
 
 _LANGS = ("ZH", "JP", "EN")
 
@@ -46,8 +51,12 @@ def get_text(
     compat.versions.VersionSpec) switches to an old version family: its
     symbol table / tone offsets, zero fills instead of randn
     (oldVersion/V200/__init__.py:29-37), and its ja_bert width.
+
+    Default extractor resolves real local BERT weights per language and
+    warns loudly before degrading to noise (the reference always runs real
+    BERT for the active language, infer.py:120-137).
     """
-    bert_extractor = bert_extractor or RandomBertExtractor()
+    bert_extractor = bert_extractor or AutoBertExtractor()
     norm_text, phones_s, tones, word2ph = clean_text(text, language)
     if spec is not None and spec.family != "2.3":
         if language not in spec.languages:
@@ -154,7 +163,10 @@ class TTSEngine:
         self.spk2id = spk2id or {}
         self.sampling_rate = sampling_rate
         self.hop_length = model.cfg.hop_length
-        self.bert_extractor = bert_extractor or RandomBertExtractor()
+        # real per-language BERT when local weights exist; loud-warned noise
+        # otherwise (ref infer.py:107-137 — noise is only for the INACTIVE
+        # languages there)
+        self.bert_extractor = bert_extractor or AutoBertExtractor(mesh=mesh)
         self.text_buckets = tuple(sorted(text_buckets))
         self.frames_per_token = frames_per_token
         self.frame_multiple = frame_multiple

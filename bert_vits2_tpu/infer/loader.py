@@ -104,6 +104,8 @@ def load_tts_engine(
     bert_extractor=None,
     seed: int = 0,
     compute_dtype: str | None = None,
+    allow_noise_bert: bool = True,
+    bert_paths: dict | None = None,
     **engine_kw,
 ):
     """config.json (+ optional weights) -> TTSEngine.
@@ -112,8 +114,29 @@ def load_tts_engine(
     fp32; predicted durations stay fp32 so output lengths are dtype-stable) —
     ~1.5x synthesis throughput on TPU at a log-mel deviation well under the
     parity budget. Default float32.
+
+    BERT conditioning: when `bert_extractor` is None an AutoBertExtractor is
+    built — languages with local weights (text/bert.py DEFAULT_BERT_PATHS,
+    overridable via `bert_paths`) get the REAL JAX encoder, the rest degrade
+    to seeded noise with a loud warning (ref infer.py:107-137 always runs
+    real BERT for the active language). Set allow_noise_bert=False to make
+    missing weights a hard error instead (recommended for servers).
     """
+    import logging
+
     from bert_vits2_tpu.infer.api import TTSEngine
+    from bert_vits2_tpu.text.bert import AutoBertExtractor
+
+    if bert_extractor is None:
+        bert_extractor = AutoBertExtractor(
+            paths=bert_paths,
+            mesh=engine_kw.get("mesh"),
+            allow_noise=allow_noise_bert,
+        )
+        logging.getLogger("bert_vits2_tpu").info(
+            "BERT extractors for %s: %s", config_path,
+            bert_extractor.describe(),
+        )
 
     hps = get_hparams_from_file(config_path)
     version = str(hps.get("version", "2.3"))

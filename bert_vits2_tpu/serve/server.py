@@ -496,20 +496,33 @@ def main():
         help="pre-compile the expected (batch, text-bucket) grid at model "
              "load so first requests skip XLA compiles",
     )
+    ap.add_argument(
+        "--require-bert", action="store_true",
+        help="refuse to serve with noise prosody features: error at load "
+             "when a language's local BERT weights are missing "
+             "(docs/WEIGHTS.md) instead of degrading with a warning",
+    )
     args = ap.parse_args()
 
     from bert_vits2_tpu.infer.loader import load_tts_engine
 
     registry = ModelRegistry(
-        loader=lambda mp, cp: load_tts_engine(cp, checkpoint_path=mp)
+        loader=lambda mp, cp: load_tts_engine(
+            cp, checkpoint_path=mp,
+            allow_noise_bert=not args.require_bert,
+        )
     )
     for pair in args.model:
         mp, _, cp = pair.partition(":")
         mid = registry.init_model(
             mp, cp or os.path.join(os.path.dirname(mp), "config.json")
         )
+        engine = registry.get(mid)
+        describe = getattr(engine.bert_extractor, "describe", None)
+        backends = describe() if describe else type(engine.bert_extractor).__name__
+        print(f"model {mid}: BERT extractors {backends}")
         if args.warmup:
-            n = registry.get(mid).warmup()
+            n = engine.warmup()
             print(f"model {mid}: warmed {n} graphs")
     srv = make_server(
         registry, args.host, args.port, args.models_dir,

@@ -13,10 +13,14 @@ infer.py:126-137).
 
 from __future__ import annotations
 
+import logging
 import os
+import warnings
 from typing import Protocol
 
 import numpy as np
+
+logger = logging.getLogger("bert_vits2_tpu")
 
 BERT_DIM = 1024
 
@@ -56,6 +60,124 @@ class RandomBertExtractor:
     def __call__(self, norm_text, word2ph, language, style_text=None, style_weight=0.7):
         rng = np.random.default_rng((self.seed, hash(norm_text) & 0x7FFFFFFF))
         return rng.normal(size=(sum(word2ph), BERT_DIM)).astype(np.float32)
+
+
+def weights_present(path: str) -> bool:
+    """True when `path` holds a loadable HF checkpoint (config + weights)."""
+    return (
+        os.path.isdir(path)
+        and os.path.isfile(os.path.join(path, "config.json"))
+        and any(
+            os.path.isfile(os.path.join(path, f))
+            for f in ("model.safetensors", "pytorch_model.bin")
+        )
+    )
+
+
+class AutoBertExtractor:
+    """Default engine extractor: REAL per-language BERT features whenever
+    local weights exist, noise only as an explicit degraded mode.
+
+    The reference always computes real BERT for the active language
+    (infer.py:107-137, text/chinese_bert.py:15-60); noise is reserved for the
+    *inactive* languages. This resolver gives the same semantics without a
+    hard dependency on downloaded assets:
+
+      - language has weights under `paths[lang]` -> JAX TPU encoder
+        (text/bert_jax.py JaxBertExtractor; Megatron-TP over `mesh` when
+        given), falling back to the host torch/HF extractor if the JAX
+        import path fails;
+      - no weights -> `allow_noise=True` (default) emits a LOUD once-per-
+        language warning and substitutes seeded noise; `allow_noise=False`
+        raises instead (production servers should set this).
+
+    Resolution is lazy (first call per language) so engine construction
+    stays cheap; `describe()` reports the backend per language for boot
+    logs without touching the weights.
+    """
+
+    def __init__(
+        self,
+        paths: dict | None = None,
+        mesh=None,
+        allow_noise: bool = True,
+        seed: int = 0,
+    ):
+        self.paths = dict(DEFAULT_BERT_PATHS)
+        if paths:
+            self.paths.update(paths)
+        self.mesh = mesh
+        self.allow_noise = allow_noise
+        self._noise = RandomBertExtractor(seed)
+        self._real: dict = {}  # language -> (backend_name, extractor|None)
+        self._shared_jax = None
+
+    def describe(self) -> dict[str, str]:
+        """language -> backend name ("jax"/"torch"/"noise"), resolved ones
+        as-is, unresolved ones predicted from weight presence."""
+        out = {}
+        for lang, path in self.paths.items():
+            if lang in self._real:
+                out[lang] = self._real[lang][0]
+            else:
+                out[lang] = "jax" if weights_present(path) else "noise"
+        return out
+
+    def _resolve(self, language: str):
+        if language in self._real:
+            return self._real[language]
+        path = self.paths.get(language, "")
+        if not weights_present(path):
+            if not self.allow_noise:
+                raise FileNotFoundError(
+                    f"no local BERT weights for {language} at {path!r} and "
+                    "allow_noise_bert=False; run `python -m "
+                    "bert_vits2_tpu.tools.fetch_assets --fetch` to download "
+                    "them (docs/WEIGHTS.md)"
+                )
+            warnings.warn(
+                f"NO BERT WEIGHTS for language {language} (looked in "
+                f"{path!r}) — synthesizing with SEEDED-NOISE prosody "
+                "features. Output quality will be degraded; fetch real "
+                "weights with `python -m bert_vits2_tpu.tools.fetch_assets "
+                "--fetch` (docs/WEIGHTS.md), or silence this by passing an "
+                "explicit bert_extractor.",
+                stacklevel=3,
+            )
+            self._real[language] = ("noise", None)
+            return self._real[language]
+        try:
+            if self._shared_jax is None:
+                from bert_vits2_tpu.text.bert_jax import JaxBertExtractor
+
+                self._shared_jax = JaxBertExtractor(
+                    paths=self.paths, mesh=self.mesh
+                )
+            self._shared_jax._load(language)  # surface load errors here
+            self._real[language] = ("jax", self._shared_jax)
+        except Exception as e:  # noqa: BLE001 - fall back to the host path
+            logger.warning(
+                "JAX BERT load failed for %s (%s); falling back to the "
+                "torch/HF extractor", language, e,
+            )
+            ext = TorchBertExtractor(paths=self.paths)
+            ext._load(language)
+            self._real[language] = ("torch", ext)
+        logger.info(
+            "BERT extractor for %s: %s (%s)",
+            language, self._real[language][0], path,
+        )
+        return self._real[language]
+
+    def __call__(self, norm_text, word2ph, language, style_text=None,
+                 style_weight: float = 0.7):
+        backend, ext = self._resolve(language)
+        if ext is None:
+            return self._noise(norm_text, word2ph, language,
+                               style_text=style_text,
+                               style_weight=style_weight)
+        return ext(norm_text, word2ph, language, style_text=style_text,
+                   style_weight=style_weight)
 
 
 class TorchBertExtractor:
