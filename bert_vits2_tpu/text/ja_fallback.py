@@ -9,11 +9,16 @@ non-flat accents:
 - a hand-curated lexicon (``assets/ja_lexicon.tsv``) of common words:
   surface -> katakana reading + NHK-style accent type (0 = heiban,
   1 = atamadaka, k = drop after mora k),
-- a single-kanji reading table for out-of-lexicon characters (on'yomi or
-  the dominant kun'yomi), accent defaulting to heiban,
+- a COMPLETE per-character kanji reading table (``assets/ja_kanji.tsv``,
+  all joyo + common hyogai chars; on'yomi for compound degradation, with
+  optional kun stems applied before okurigana) so out-of-lexicon
+  compounds degrade to per-character readings instead of dropped text,
 - longest-match segmentation, particle heuristics (は->ワ, へ->エ, を->オ),
 - accent-type -> per-mora H/L -> per-phoneme {0,1} tones (the same tone
-  inventory align_tones produces from HTS labels, japanese.py:635-655).
+  inventory align_tones produces from HTS labels, japanese.py:635-655),
+- a NO-DROP guarantee: every CJK character in the input yields at least
+  one phone (an ``UNK`` placeholder in the worst case) — the reference's
+  pyopenjtalk frontend never loses input (japanese.py:677 run_frontend).
 
 This is a *degraded* mode: readings of rare compounds and accent sandhi
 across phrases won't match NAIST output. With pyopenjtalk installed the
@@ -26,6 +31,7 @@ import functools
 import os
 
 _ASSET = os.path.join(os.path.dirname(__file__), "assets", "ja_lexicon.tsv")
+_KANJI_ASSET = os.path.join(os.path.dirname(__file__), "assets", "ja_kanji.tsv")
 
 _SMALL = "ャュョァィゥェォヮ"
 _HIRA2KATA = {chr(h): chr(h + 0x60) for h in range(0x3041, 0x3097)}
@@ -55,17 +61,36 @@ def lexicon() -> dict[str, tuple[str, int]]:
 
 
 @functools.lru_cache(maxsize=1)
-def kanji_readings() -> dict[str, str]:
-    """Single character -> katakana reading (OOV degradation)."""
-    out = {}
+def kanji_table() -> dict[str, tuple[str, str | None]]:
+    """Single character -> (dominant reading, optional kun stem).
+
+    Layering: the full ja_kanji.tsv table (all joyo + common hyogai) is the
+    base; the hand-curated ``#KANJI`` rows in ja_lexicon.tsv override its
+    dominant reading (they pick standalone-usage readings). The kun stem,
+    when present, is used before okurigana (書 followed by く reads カ,
+    giving カク) instead of the compound on'yomi."""
+    out: dict[str, tuple[str, str | None]] = {}
+    with open(_KANJI_ASSET, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            kun = parts[2] if len(parts) > 2 and parts[2] else None
+            out[parts[0]] = (parts[1], kun)
     with open(_ASSET, encoding="utf-8") as f:
         for line in f:
             line = line.strip()
             if not line.startswith("#KANJI\t"):
                 continue
             _, char, reading = line.split("\t")
-            out[char] = reading
+            out[char] = (reading, out.get(char, (None, None))[1])
     return out
+
+
+def kanji_readings() -> dict[str, str]:
+    """Single character -> dominant katakana reading (OOV degradation)."""
+    return {c: on for c, (on, _kun) in kanji_table().items()}
 
 
 @functools.lru_cache(maxsize=1)
@@ -92,14 +117,21 @@ def _is_number_reading(kata: str) -> bool:
     return bool(kata) and all(c in _NUMBER_KANA for c in kata)
 
 
+def _is_cjk(c: str) -> bool:
+    return "一" <= c <= "鿿" or c == "々" or "㐀" <= c <= "䶿" or "豈" <= c <= "﫿" or ord(c) >= 0x20000
+
+
 def segment(text: str) -> list[tuple[str, str, int]]:
     """Longest-match -> [(surface, katakana reading, accent type)].
 
     Kana runs not in the lexicon read as themselves (kana is phonetic);
-    OOV kanji fall back to per-character readings; anything else is passed
-    through one char at a time (punctuation is handled by the caller)."""
+    OOV kanji fall back to per-character readings (kun stem before
+    okurigana, on'yomi otherwise); a CJK char absent even from the full
+    kanji table gets an empty reading, which the g2p layer renders as an
+    UNK phone — input is NEVER dropped. Anything else passes through one
+    char at a time (punctuation is handled by the caller)."""
     lex = lexicon()
-    kread = kanji_readings()
+    ktab = kanji_table()
     out: list[tuple[str, str, int]] = []
     i, n = 0, len(text)
     max_len = _max_word_len()
@@ -145,8 +177,16 @@ def segment(text: str) -> list[tuple[str, str, int]]:
             run = text[i:j]
             out.append((run, hira2kata(run), 0))
             i = j
-        elif c in kread:
-            out.append((c, kread[c], 0))
+        elif c in ktab:
+            on, kun = ktab[c]
+            nxt = text[i + 1] if i + 1 < n else ""
+            # kun stem before okurigana: 書 before く -> カ (kaku), not ショ
+            reading = kun if (kun and "ぁ" <= nxt <= "ゖ") else on
+            out.append((c, reading, 0))
+            i += 1
+        elif _is_cjk(c):
+            # unknown CJK char: empty reading -> UNK phone downstream
+            out.append((c, "", 0))
             i += 1
         else:
             out.append((c, c, 0))
@@ -207,6 +247,6 @@ def word_phones_tones(reading: str, acc: int, kata2phoneme) -> tuple[list[str], 
 
 
 __all__ = [
-    "lexicon", "kanji_readings", "segment", "mora_split",
+    "lexicon", "kanji_table", "kanji_readings", "segment", "mora_split",
     "accent_pitches", "word_phones_tones", "hira2kata",
 ]

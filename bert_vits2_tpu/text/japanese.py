@@ -366,6 +366,11 @@ def _g2p_fallback(norm_text: str):
             continue
         ph, tn = jf.word_phones_tones(reading, acc, kata2phoneme)
         ph = [p if p in _JA_PHONE_SET or p in PUNCTUATION else "UNK" for p in ph]
+        if not ph:
+            # NO-DROP guarantee: a segment whose reading produced nothing
+            # (unknown CJK char, unreadable symbol) still renders as UNK —
+            # the reference's frontend never loses input (japanese.py:677)
+            ph, tn = ["UNK"], [0]
         phones += ph
         tones += tn
         word2ph += distribute_phone(len(ph), len(_tokenize(surface)))

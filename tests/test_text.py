@@ -399,3 +399,97 @@ class TestEnglishLTS:
         )
         assert "UNK" not in phones
         assert sum(word2ph) == len(phones) == len(tones)
+
+
+class TestJaNoDrop:
+    """NO-DROP invariant (VERDICT r3 item 2): every CJK character in
+    normalized Japanese input must produce at least one phone — the
+    reference's pyopenjtalk frontend never loses text (japanese.py:677
+    run_frontend). Round 3 silently dropped OOV kanji (躑躅が綺麗です lost
+    躑躅 entirely)."""
+
+    CORPUS = [
+        "躑躅が綺麗です。",            # r3 probe: OOV hyogai compound
+        "東京特許許可局。",            # r3 probe: half-matched compound
+        "薔薇の花が咲いた。",
+        "憂鬱な天気が続く。",
+        "葡萄と林檎を食べた。",
+        "蟹と鰻は高級品だ。",
+        "狐と狸が山で暮らす。",
+        "彼は朦朧とした意識で呟いた。",  # 朦 is beyond the table -> UNK
+        "鸚鵡が喋った。",              # 鸚/鵡 beyond the table -> UNK
+        "政府は新しい経済政策を発表した。",
+        "研究開発の成果が認められた。",
+        "環境問題に関する国際会議が開かれた。",
+        "裁判所は判決を言い渡した。",
+        "憲法改正の議論が続いている。",
+        "先生は生徒に宿題を出した。",
+        "飛行機が空港に到着した。",
+        "彼女は図書館で歴史の本を借りた。",
+        "祖父は毎朝神社に参拝する。",
+        "醤油と味噌は発酵食品だ。",
+        "隣の客はよく柿食う客だ。",
+    ]
+
+    def _is_cjk(self, c):
+        from bert_vits2_tpu.text.ja_fallback import _is_cjk
+
+        return _is_cjk(c)
+
+    def test_every_cjk_char_renders(self):
+        from bert_vits2_tpu.text.cleaner import clean_text
+        from bert_vits2_tpu.text.japanese import text_normalize
+
+        for text in self.CORPUS:
+            norm = text_normalize(text)
+            _, phones, tones, word2ph = clean_text(text, "JP")
+            # full coverage: one word2ph entry per normalized char (+2 pads)
+            assert len(word2ph) == len(norm) + 2, (text, norm, word2ph)
+            assert sum(word2ph) == len(phones) == len(tones)
+            for i, c in enumerate(norm):
+                if self._is_cjk(c):
+                    assert word2ph[i + 1] >= 1, (
+                        f"CJK char {c!r} in {text!r} produced no phone"
+                    )
+
+    def test_unknown_cjk_becomes_unk_not_dropped(self):
+        from bert_vits2_tpu.text.cleaner import clean_text
+
+        _, phones, _, word2ph = clean_text("鸚鵡。", "JP")
+        assert phones.count("UNK") == 2  # one per unknown char
+        assert sum(word2ph) == len(phones)
+
+    def test_segments_cover_input_exactly(self):
+        from bert_vits2_tpu.text import ja_fallback as jf
+        from bert_vits2_tpu.text.japanese import text_normalize
+
+        for text in self.CORPUS:
+            norm = text_normalize(text)
+            segs = jf.segment(norm)
+            assert "".join(s for s, _, _ in segs) == norm, text
+
+    def test_kun_stem_before_okurigana(self):
+        from bert_vits2_tpu.text.cleaner import clean_text
+
+        # 書く must read カク (kun stem) not ショク (on'yomi)
+        _, phones, _, _ = clean_text("本を書く。", "JP")
+        assert phones == ["_", "h", "o", "n", "o", "k", "a", "k", "u", ".", "_"]
+        # 降る must read フル
+        _, phones, _, _ = clean_text("雨が降る。", "JP")
+        assert phones == ["_", "a", "m", "e", "g", "a", "f", "u", "r", "u", ".", "_"]
+
+    def test_full_kanji_table_coverage(self):
+        """The per-character table must cover all common kanji (joyo-scale,
+        >=2100 chars) so compounds degrade to readings, not UNK."""
+        from bert_vits2_tpu.text.ja_fallback import kanji_table
+
+        tab = kanji_table()
+        assert len(tab) >= 2100
+        # spot-check readings across the frequency range (日 is ヒ via the
+        # hand-curated #KANJI override layer, which wins over the base table)
+        assert tab["日"][0] == "ヒ"
+        assert tab["鬱"][0] == "ウツ"
+        assert tab["躑"][0] == "テキ"
+        # kun stems present for common verbs
+        assert tab["書"][1] == "カ"
+        assert tab["降"][1] == "フ"
