@@ -57,6 +57,27 @@ def lexicon() -> dict[str, tuple[str, int]]:
             )
             if hira != surface and hira not in out:
                 out[hira] = (reading, int(acc))
+    # derived i-adjective conjugations (寒い -> 寒かった/寒くない/...).
+    # Tokyo rule: an accented adjective keeps its kernel clamped to the
+    # stem (samuꜜkatta); a heiban one stays heiban in the past and gains
+    # the ない kernel (akakunaꜜi) in the negative.
+    derived = {}
+    for w, (r, a) in out.items():
+        if not (w.endswith("い") and r.endswith("イ") and len(w) > 1):
+            continue
+        stem_w, stem_r = w[:-1], r[:-1]
+        sm = len(mora_split(stem_r))
+        k = min(a, sm) if a > 0 else 0
+        for suf, rsuf, kk in (
+            ("かった", "カッタ", k),
+            ("くて", "クテ", k),
+            ("くない", "クナイ", k if a > 0 else sm + 2),
+            ("くなかった", "クナカッタ", k if a > 0 else sm + 2),
+        ):
+            key = stem_w + suf
+            if key not in out:
+                derived[key] = (stem_r + rsuf, kk)
+    out.update(derived)
     return out
 
 
@@ -175,15 +196,32 @@ def segment(text: str) -> list[tuple[str, str, int]]:
                     break
                 j += 1
             run = text[i:j]
-            out.append((run, hira2kata(run), 0))
+            for piece in _split_aux_suffixes(run):
+                if piece in lex:
+                    out.append((piece, *lex[piece]))
+                else:
+                    out.append((piece, hira2kata(piece), 0))
             i = j
         elif c in ktab:
             on, kun = ktab[c]
             nxt = text[i + 1] if i + 1 < n else ""
-            # kun stem before okurigana: 書 before く -> カ (kaku), not ショ
-            reading = kun if (kun and "ぁ" <= nxt <= "ゖ") else on
-            out.append((c, reading, 0))
-            i += 1
+            if kun and "ぁ" <= nxt <= "ゖ":
+                # kun stem + okurigana merge into ONE word segment
+                # (書きます -> 書き; the phrase layer then hangs ます off
+                # it) so the accent contour spans the whole verb
+                j = i + 1
+                while j < n and ("ぁ" <= text[j] <= "ゖ" or text[j] == "っ"):
+                    j += 1
+                oku = _okurigana(text[i + 1 : j])
+                surface = c + oku
+                if surface in lex:
+                    out.append((surface, *lex[surface]))
+                else:
+                    out.append((surface, kun + hira2kata(oku), 0))
+                i += 1 + len(oku)
+            else:
+                out.append((c, on, 0))
+                i += 1
         elif _is_cjk(c):
             # unknown CJK char: empty reading -> UNK phone downstream
             out.append((c, "", 0))
@@ -192,6 +230,148 @@ def segment(text: str) -> list[tuple[str, str, int]]:
             out.append((c, c, 0))
             i += 1
     return out
+
+
+# -------------------------------------------------------- accent phrases
+
+# particles attach to the preceding content word's accent phrase and
+# continue its pitch (水が = LH+H, not LH+L); they never add a kernel
+PARTICLES = {
+    "は", "が", "を", "に", "で", "と", "も", "の", "へ", "や", "か", "ね",
+    "よ", "な", "わ", "さ", "ぞ", "ぜ", "ば", "し", "って", "たり",
+    "から", "まで", "より", "だけ", "ほど", "など", "くらい", "ぐらい",
+    "しか", "でも", "こそ",
+    # て-form connector: prosodically continues the verb's phrase
+    # (買っ+て+ください is ONE accent phrase)
+    "て",
+}
+# copula-family auxiliaries: contribute their own kernel ONLY after a
+# heiban head (学生で'す) — an accented head keeps its kernel (高'いです)
+AUX_COPULA = {"です", "でした", "でしょう", "だ", "だった", "だろう"}
+# polite/desiderative/negative verb endings OVERRIDE the stem's kernel
+# (食べません = タベマセ'ン regardless of 食べ's accent)
+AUX_OVERRIDE = {
+    "ます", "ました", "ません", "ましょう", "まして",
+    "たい", "たかった", "ない", "なかった",
+    "ています", "でいます", "ていました", "でいました",
+    "ていません", "でいません", "ている", "でいる", "ていた", "でいた",
+    "ないで",
+}
+# する-verb forms: attach to a preceding verbal noun (勉強します is ONE
+# accent phrase) but, like the copula, only fill a kernel when the phrase
+# is still heiban (料理します keeps リョ'ーリ)
+SURU_FORMS = {
+    "する", "します", "しました", "しません", "しましょう", "して",
+    "した", "しない", "しなかった", "しよう",
+}
+# て-form continuatives: attach only after a て/で reading (して+います,
+# 行って+ください)
+TE_CONT = {"います", "いました", "いません", "いる", "いた", "いない",
+           "ください"}
+
+_ATTACH = PARTICLES | AUX_COPULA | AUX_OVERRIDE
+_AUX_FILL = AUX_COPULA | SURU_FORMS | TE_CONT
+
+
+_AUX_SUFFIXES = tuple(sorted((
+    "ましょう", "でしょう", "なかった", "たかった", "ました", "ません",
+    "まして", "でした", "ます", "です", "たい", "ない",
+    "ていました", "でいました", "ていません", "でいません",
+    "ています", "でいます", "ていた", "でいた", "ている", "でいる",
+    "ください", "ないで",
+), key=len, reverse=True))
+
+
+def _split_aux_suffixes(run: str, min_rest: int = 1) -> list[str]:
+    """Split verb-ending auxiliaries off an unknown kana run so the accent
+    layer can apply their kernels: かない -> [か, ない], きませんでした ->
+    [き, ません, でした]. With the default min_rest=1 the remainder must
+    stay non-empty (ない alone is the adjective 無い, not an ending);
+    okurigana splitting passes 0 (見ています -> 見 + ています)."""
+    pieces: list[str] = []
+    while True:
+        for suf in _AUX_SUFFIXES:
+            if run.endswith(suf) and len(run) >= len(suf) + min_rest:
+                pieces.append(suf)
+                run = run[: -len(suf)]
+                break
+        else:
+            break
+    pieces.append(run)
+    return list(reversed(pieces))
+
+
+# particles that end an okurigana run (they belong to the NEXT phrase
+# grouping step, not to the verb/adjective itself)
+_OKU_PARTICLES = set("のがはをにへともかねよなわさ")
+
+
+def _okurigana(s: str) -> str:
+    """The okurigana part of a kana run following a kun-read kanji: strip
+    auxiliary endings (ます/ない/...) and trailing particles — those become
+    their own segments. May be empty (見ています: the kanji IS the stem)."""
+    s = _split_aux_suffixes(s, min_rest=0)[0]
+    while len(s) > 1 and s[-1] in _OKU_PARTICLES:
+        s = s[:-1]
+    return s
+
+
+def _is_boundary(seg: tuple[str, str, int]) -> bool:
+    """Punctuation / unreadable segments break accent phrases."""
+    surface, reading, _ = seg
+    if not reading:
+        return True
+    c = surface[0]
+    return not (
+        _is_cjk(c) or "ぁ" <= c <= "ゖ" or "ァ" <= c <= "ヶ" or c in "ーッ"
+    )
+
+
+def group_phrases(
+    segs: list[tuple[str, str, int]],
+) -> list[list[tuple[str, str, int]]]:
+    """Group segments into accent phrases: a content word plus its attached
+    particles/auxiliaries share ONE pitch contour (the reference gets this
+    from full-context label A-fields, japanese.py:405-430). Punctuation and
+    unreadable segments are singleton boundary phrases."""
+    phrases: list[list[tuple[str, str, int]]] = []
+    for seg in segs:
+        prev = phrases[-1][-1] if phrases else None
+        joinable = (
+            phrases and not _is_boundary(seg) and not _is_boundary(prev)
+        )
+        attach = joinable and (
+            seg[0] in _ATTACH
+            or (seg[0] in SURU_FORMS and prev[0] not in PARTICLES)
+            or (seg[0] in TE_CONT and prev[1][-1:] in ("テ", "デ"))
+        )
+        if attach:
+            phrases[-1].append(seg)
+        else:
+            phrases.append([seg])
+    return phrases
+
+
+def phrase_pitches(phrase: list[tuple[str, str, int]]) -> list[int]:
+    """Per-mora H(1)/L(0) over a whole accent phrase.
+
+    Kernel resolution: the head keeps its lexical accent; AUX_OVERRIDE
+    endings replace it at their own offset; AUX_COPULA supplies one only
+    when the phrase is still heiban; particles never do."""
+    total = sum(len(mora_split(r)) for _, r, _ in phrase)
+    kernel = 0
+    offset = 0
+    for idx, (surface, reading, acc) in enumerate(phrase):
+        n = len(mora_split(reading))
+        if idx == 0:
+            if acc > 0:
+                kernel = min(acc, n)
+        elif surface in AUX_OVERRIDE and acc > 0:
+            kernel = offset + min(acc, n)
+        elif kernel == 0 and surface in _AUX_FILL and acc > 0:
+            kernel = offset + min(acc, n)
+        offset += n
+    return accent_pitches(total, kernel)
 
 
 # -------------------------------------------------------------- accent maths
@@ -219,15 +399,19 @@ def accent_pitches(n_morae: int, acc: int) -> list[int]:
     return [0] + [1] * (k - 1) + [0] * (n_morae - k)
 
 
-def word_phones_tones(reading: str, acc: int, kata2phoneme) -> tuple[list[str], list[int]]:
+def word_phones_tones(
+    reading: str, acc: int, kata2phoneme, pitches: list[int] | None = None
+) -> tuple[list[str], list[int]]:
     """Reading + accent -> (phonemes, per-phoneme {0,1} tones).
 
     Phonemes per mora come from the caller's kata2phoneme so the inventory
     matches the primary path exactly; the word-level concatenation equals
     kata2phoneme(reading) (ー expansion spans morae via the running last
-    vowel)."""
+    vowel). `pitches` overrides the word-local accent pattern with a slice
+    of an accent-phrase contour (group_phrases/phrase_pitches)."""
     morae = mora_split(reading)
-    pitches = accent_pitches(len(morae), acc)
+    if pitches is None:
+        pitches = accent_pitches(len(morae), acc)
     phones: list[str] = []
     tones: list[int] = []
     last_vowel = "e"  # ー with no preceding vowel: rare, arbitrary but stable

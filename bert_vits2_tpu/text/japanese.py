@@ -351,29 +351,43 @@ def _tokenize(word: str) -> list[str]:
 
 def _g2p_fallback(norm_text: str):
     """pyopenjtalk-less g2p: lexicon segmentation + dictionary readings +
-    accent-type pitch patterns (text/ja_fallback.py). Kanji degrade to
-    dictionary lookup; kana get non-flat Tokyo accents."""
+    accent-PHRASE pitch patterns (text/ja_fallback.py). Kanji degrade to
+    dictionary lookup; particles/auxiliaries share their head word's pitch
+    contour (the reference derives the same from full-context labels,
+    japanese.py:405-430)."""
     from bert_vits2_tpu.text import ja_fallback as jf
 
     phones: list[str] = []
     tones: list[int] = []
     word2ph: list[int] = []
-    for surface, reading, acc in jf.segment(norm_text):
-        if surface in PUNCTUATION:
-            phones.append(surface)
-            tones.append(0)
-            word2ph.append(1)
-            continue
-        ph, tn = jf.word_phones_tones(reading, acc, kata2phoneme)
-        ph = [p if p in _JA_PHONE_SET or p in PUNCTUATION else "UNK" for p in ph]
-        if not ph:
-            # NO-DROP guarantee: a segment whose reading produced nothing
-            # (unknown CJK char, unreadable symbol) still renders as UNK —
-            # the reference's frontend never loses input (japanese.py:677)
-            ph, tn = ["UNK"], [0]
-        phones += ph
-        tones += tn
-        word2ph += distribute_phone(len(ph), len(_tokenize(surface)))
+    for phrase in jf.group_phrases(jf.segment(norm_text)):
+        pitches = jf.phrase_pitches(phrase)
+        off = 0
+        for surface, reading, acc in phrase:
+            if surface in PUNCTUATION:
+                phones.append(surface)
+                tones.append(0)
+                word2ph.append(1)
+                continue
+            n_morae = len(jf.mora_split(reading))
+            ph, tn = jf.word_phones_tones(
+                reading, acc, kata2phoneme,
+                pitches=pitches[off : off + n_morae],
+            )
+            off += n_morae
+            ph = [
+                p if p in _JA_PHONE_SET or p in PUNCTUATION else "UNK"
+                for p in ph
+            ]
+            if not ph:
+                # NO-DROP guarantee: a segment whose reading produced
+                # nothing (unknown CJK char, unreadable symbol) still
+                # renders as UNK — the reference's frontend never loses
+                # input (japanese.py:677)
+                ph, tn = ["UNK"], [0]
+            phones += ph
+            tones += tn
+            word2ph += distribute_phone(len(ph), len(_tokenize(surface)))
     phones = ["_"] + phones + ["_"]
     tones = [0] + tones + [0]
     word2ph = [1] + word2ph + [1]
