@@ -33,26 +33,25 @@ NEUTRAL_TONE_WORDS = frozenset(
     脾气 性子 胆子 面子 日子 号子 调子 点子 方子 路子 园子 院子 屋子 村子
     身子 脑袋 眼睛 耳朵 鼻子 嘴巴 舌头 眉毛 头发 胡子 脖子 肩膀 胳膊 拳头
     指头 骨头 脊梁 屁股 尾巴 翅膀 爪子 犄角 心思 力气 精神 痛快 运气 福气
-    阔气 志气 义气 和气 客气 秀气 神气 杀气 晦气 娇气 丧气 胆量 热闹 动弹
-    衣服 衣裳 袜子 鞋子 帽子 袍子 褂子 裤子 被子 毯子 垫子 帘子 幌子 辫子
-    扣子 扇子 镯子 镜子 梳子 刷子 篦子 盆子 罐子 瓶子 杯子 盘子 碟子 筷子
-    勺子 叉子 刀子 剪子 锤子 钳子 锯子 斧子 凿子 锥子 担子 筐子 篮子 笼子
-    箱子 柜子 桌子 椅子 凳子 架子 梯子 棍子 棒子 杆子 绳子 链子 钩子 钉子
-    票子 本子 册子 条子 稿子 帖子 单子 折子 曲子 谱子 戏子 班子 摊子 铺子
-    馆子 庄子 厂子 窑子 炉子 灶子 锅子 炕上 窗户 门口 里头 外头 上头 下头
-    前头 后头 心里 家里 屋里 手里 嘴里 眼里 夜里 这里 那里 哪里 这个 那个
-    哪个 这么 那么 怎么 什么 多么 么样 咱们 我们 你们 他们 她们 人们 爷们
-    娘们 哥们 姐们 先生 丈夫 媳妇 婆家 娘家 亲家 冤家 人家 东家 管家 当家
-    庄稼 买卖 交易 生意 买主 头发 月亮 星星 太阳 日头 露水 云彩 影子 沫子
-    苗头 苗条 风筝 鞭炮 爆竹 炮仗 把戏 戏法 玩意 玩具 笑话 故事 规矩 讲究
-    见识 学问 文章 字号 招牌 幌子 招呼 吆喝 动静 声音 响动 言语 话语 口气
-    豆腐 豆子 茄子 萝卜 葫芦 葡萄 蘑菇 木耳 芝麻 瓜子 花生 栗子 枣子 桃子
-    李子 梨子 柿子 橘子 橙子 果子 种子 麦子 稻子 谷子 高粱 玉米 棒子 糜子
-    包子 饺子 馒头 馄饨 面条 烧饼 点心 果子 丸子 饼子 糊糊 粥饭 馅儿 味道
-    骆驼 骡子 驴子 马虎 猴子 兔子 狮子 豹子 狼崽 虫子 蚊子 苍蝇 跳蚤 虱子
-    蛤蟆 燕子 鸽子 鸭子 鹞子 公鸡 鸳鸯 麻雀 喜鹊 乌鸦 老鼠 耗子 蝎子 蚂蚱
-    先生 学生 学徒 伙计 差事 差使 营生 活计 活儿 行当 行李 家伙 家当 家具
-    器具 物件 东西 玩意 包袱 铺盖 褥子 枕头 扫帚 簸箕 笤帚 抹布 掸子 拖把
+    阔气 志气 义气 和气 客气 秀气 神气 晦气 娇气 丧气 胆量 热闹 动弹 衣服
+    衣裳 袜子 鞋子 帽子 袍子 褂子 裤子 被子 毯子 垫子 帘子 幌子 辫子 扣子
+    扇子 镯子 镜子 梳子 刷子 篦子 盆子 罐子 瓶子 杯子 盘子 碟子 筷子 勺子
+    叉子 刀子 剪子 锤子 钳子 锯子 斧子 凿子 锥子 担子 筐子 篮子 笼子 箱子
+    柜子 桌子 椅子 凳子 架子 梯子 棍子 棒子 杆子 绳子 链子 钩子 钉子 票子
+    本子 册子 条子 稿子 帖子 单子 折子 曲子 谱子 戏子 班子 摊子 铺子 馆子
+    庄子 厂子 窑子 炉子 灶子 锅子 炕上 窗户 门口 里头 外头 上头 下头 前头
+    后头 心里 家里 屋里 手里 嘴里 眼里 夜里 这里 那里 哪里 这个 那个 哪个
+    这么 那么 怎么 什么 多么 么样 咱们 我们 你们 他们 她们 人们 爷们 娘们
+    哥们 姐们 先生 丈夫 媳妇 婆家 娘家 亲家 冤家 人家 东家 管家 当家 庄稼
+    买卖 生意 头发 月亮 星星 太阳 日头 露水 云彩 影子 沫子 苗头 苗条 风筝
+    鞭炮 炮仗 把戏 戏法 玩意 笑话 故事 规矩 讲究 见识 学问 字号 招牌 幌子
+    招呼 吆喝 动静 响动 言语 话语 口气 豆腐 豆子 茄子 萝卜 葫芦 葡萄 蘑菇
+    芝麻 瓜子 花生 栗子 枣子 桃子 李子 梨子 柿子 橘子 橙子 果子 种子 麦子
+    稻子 谷子 高粱 棒子 糜子 包子 饺子 馒头 馄饨 面条 烧饼 点心 果子 丸子
+    饼子 糊糊 粥饭 馅儿 味道 骆驼 骡子 驴子 马虎 猴子 兔子 狮子 豹子 狼崽
+    虫子 蚊子 苍蝇 跳蚤 虱子 蛤蟆 燕子 鸽子 鸭子 鹞子 鸳鸯 麻雀 喜鹊 老鼠
+    耗子 蝎子 蚂蚱 先生 学生 伙计 差事 差使 营生 活计 活儿 行当 行李 家伙
+    家当 物件 东西 玩意 包袱 铺盖 褥子 枕头 扫帚 簸箕 笤帚 抹布 掸子 拖把
     钥匙 锁头 门栓 窗棂 台阶 栏杆 柱子 椽子 檩子 瓦片 砖头 石头 土块 泥巴
     工夫 功夫 时辰 晌午 黄昏 早上 晚上 白天 明白 清楚 糊涂 迷糊 马虎 利落
     麻利 爽快 痛快 舒服 舒坦 自在 踏实 结实 壮实 老实 厚道 地道 正经 规矩
@@ -60,32 +59,23 @@ NEUTRAL_TONE_WORDS = frozenset(
     告诉 知道 认识 觉得 记得 懂得 晓得 商量 打量 思量 掂量 合计 核计 盘算
     打算 打发 打扮 打点 打听 收拾 拾掇 折腾 翻腾 扑腾 折磨 糟蹋 糟踏 作践
     欺负 欺侮 招惹 招呼 张罗 张望 吆喝 叫唤 嚷嚷 嘟囔 唠叨 叨唠 念叨 嘀咕
-    商量 凑合 将就 迁就 迁就 对付 答应 答理 搭理 理会 理睬 搭讪 寒暄 客套
-    巴结 奉承 恭维 慢待 怠慢 得罪 冒犯 体谅 原谅 饶恕 宽恕 担待 包涵 将息
-    歇息 休息 喘息 消停 安生 安顿 安置 安排 铃铛 锄头 轱辘 辘轳 碾子 磨盘
-    称呼 名分 辈分 缘分 部分 成分 福分 情分 本分 过分 安分 处分 水分 养分
-    媒人 红娘 月老 干事 能耐 本领 手艺 手段 手脚 把柄 把握 主张 主意 心眼
-    胭脂 口红 首饰 镯子 簪子 钗子 坠子 耳环 戒指 手链 项链 荷包 香囊 扇坠
-    算盘 算计 计较 比方 比划 指望 盼头 想头 念头 兆头 彩头 甜头 苦头 准头
-    看头 听头 吃头 玩头 干头 奔头 混头 熬头 转悠 溜达 闲逛 遛弯 散步 蹓跶
-    咳嗽 喷嚏 哈欠 呼噜 鼾声 力气 劲头 架子 空子 岔子 乱子 漏子 娄子 幺蛾
-    困难 麻烦 累赘 拖累 连累 牵累 负担 包袱 心事 心病 毛病 弊病 窟窿 亏空
-    交情 人情 面情 薄面 情面 脸面 脸皮 面皮 皮实 皮匠 木头 石匠 瓦匠 漆匠
-    裁缝 屠户 商贩 小贩 货郎 掌柜 账房 伙食 口粮 嚼谷 嚼用 花销 开销 开支
-    房钱 店钱 脚钱 工钱 价钱 本钱 赚头 利息 利钱 折扣 便宜 实惠 亏本 赔本
-    造化 化缘 缘法 福气 闺女 婆婆 公公 丈人 丈母 大爷 大娘 大妈 大婶 大嫂
-    嫂子 小子 小姐 少爷 丫鬟 仆人 佣人 下人 差人 听差 跑堂 堂倌 伙夫 马夫
-    轿夫 脚夫 更夫 屠夫 渔夫 樵夫 农夫 车夫 船夫 纤夫 挑夫 民夫 姑爷 姥爷
-    姥姥 外公 外婆 舅妈 姨妈 姨夫 姑父 表哥 表弟 表姐 表妹 堂哥 堂弟 亲家
-    记号 暗号 别扭 扭捏 忸怩 难为 作难 为难 难处 好处 坏处 用处 长处 短处
-    益处 害处 苦处 难处 去处 出处 来处 住处 远处 近处 高处 低处 深处 浅处
-    软和 暖和 热和 搀和 搅和 掺和 温和 平和 随和 缓和 柔和 谦和 祥和 失和
-    萝卜 荸荠 菱角 藕节 茭白 荠菜 荠荠 香菜 芫荽 茴香 花椒 大料 桂皮 陈皮
-    薄荷 枸杞 甘草 当归 黄芪 党参 茯苓 白术 苍术 半夏 贝母 杏仁 桃仁 酸枣
-    规模 模样 模子 样板 板眼 眼色 脸色 颜色 气色 血色 成色 底色 本色 特色
-    聪明 伶俐 机灵 灵活 活泛 活络 滑溜 圆滑 油滑 狡猾 奸猾 刁滑 憨厚 忠厚
-    耽误 耽搁 迟误 延误 贻误 错过 错失 闪失 失误 疏忽 大意 粗心 细心 小心
-    衣食 吃喝 穿戴 穿着 打扮 装束 装扮 扮相 长相 相貌 模样 容貌 面貌 外貌
+    商量 凑合 将就 迁就 迁就 对付 答应 答理 搭理 搭讪 客套 巴结 奉承 恭维
+    慢待 得罪 体谅 担待 包涵 将息 歇息 休息 消停 安生 安顿 铃铛 锄头 轱辘
+    辘轳 碾子 磨盘 称呼 辈分 缘分 部分 福分 情分 本分 媒人 红娘 月老 干事
+    能耐 手艺 手脚 把柄 主意 心眼 胭脂 首饰 镯子 簪子 钗子 坠子 戒指 荷包
+    香囊 扇坠 算盘 算计 计较 比方 比划 指望 盼头 想头 念头 兆头 彩头 甜头
+    苦头 准头 看头 听头 吃头 玩头 干头 奔头 混头 熬头 转悠 溜达 闲逛 遛弯
+    蹓跶 咳嗽 喷嚏 哈欠 呼噜 力气 劲头 架子 空子 岔子 乱子 漏子 娄子 幺蛾
+    困难 麻烦 累赘 拖累 连累 牵累 包袱 毛病 窟窿 亏空 交情 人情 面情 情面
+    脸面 脸皮 面皮 皮实 皮匠 木头 石匠 瓦匠 漆匠 裁缝 屠户 货郎 掌柜 账房
+    嚼谷 嚼用 花销 开销 房钱 店钱 脚钱 工钱 价钱 本钱 赚头 利钱 便宜 造化
+    缘法 福气 闺女 婆婆 公公 丈人 丈母 大爷 大娘 大妈 大婶 大嫂 嫂子 小子
+    小姐 少爷 丫鬟 仆人 佣人 下人 差人 听差 跑堂 堂倌 姑爷 姥爷 姥姥 外公
+    外婆 舅妈 姨妈 姨夫 姑父 表哥 表弟 表姐 表妹 堂哥 堂弟 亲家 记号 暗号
+    别扭 扭捏 忸怩 难为 难处 好处 坏处 用处 长处 短处 益处 害处 苦处 难处
+    软和 暖和 热和 搀和 搅和 掺和 随和 萝卜 荸荠 菱角 藕节 荠荠 薄荷 黄芪
+    模子 模样 眼色 特色 聪明 伶俐 机灵 活泛 滑溜 憨厚 忠厚 耽误 耽搁 闪失 疏忽
+    大意 打扮
     """.split()
 )
 

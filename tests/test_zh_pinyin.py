@@ -23,6 +23,172 @@ from bert_vits2_tpu.text.mandarin_lexicon import (
 # Sentences avoid 3-3 sandhi and 不/一 sandhi inside the asserted span so
 # the expected tones survive ToneSandhi unchanged.
 POLYPHONE_CORPUS = [
+    # --- round-4 expansion (VERDICT r3 item 7): 163-case candidate
+    # sweep over ~60 more polyphonic characters; expectations are
+    # post-sandhi, incl. the reference's 的/地/得 neutralization
+    # quirk (tone_sandhi.py) ---
+    ("得到大家的认可", "得到", ["de2", "dao4"]),
+    ("土地肥沃", "土地", ["tu3", "di5"]),
+    ("他慢慢地走", "地", ["de5"]),
+    ("目的明确", "目的", ["mu4", "di5"]),
+    ("他看着我笑", "看着", ["kan4", "zhe5"]),
+    ("大家都很着急", "着急", ["zhao2", "ji2"]),
+    ("厨房着火了", "着火", ["zhao2", "huo3"]),
+    ("了解情况之后再说", "了解", ["liao2", "jie3"]),
+    ("他已经走了", "了", ["le5"]),
+    ("去理发店理发", "理发", ["li3", "fa4"]),
+    ("发现新大陆", "发现", ["fa1", "xian4"]),
+    ("数学老师来了", "数学", ["shu4", "xue2"]),
+    ("教书育人是本分", "教书", ["jiao1", "shu1"]),
+    ("教育改革推进", "教育", ["jiao4", "yu4"]),
+    ("农民种地干活", "种地", ["zhong4", "di5"]),
+    ("种子发芽了", "种子", ["zhong3", "zi5"]),
+    ("种类繁多", "种类", ["zhong3", "lei4"]),
+    ("传记文学很好看", "传记", ["zhuan4", "ji4"]),
+    ("传达上级命令", "传达", ["chuan2", "da2"]),
+    ("当天晚上就出发", "当天", ["dang4", "tian1"]),
+    ("把它当作礼物", "当作", ["dang4", "zuo4"]),
+    ("当然可以", "当然", ["dang1", "ran2"]),
+    ("小心上当受骗", "上当", ["shang4", "dang4"]),
+    ("因为下雨取消了", "因为", ["yin1", "wei4"]),
+    ("成为好朋友", "成为", ["cheng2", "wei2"]),
+    ("别故意为难别人", "为难", ["wei2", "nan2"]),
+    ("相信自己", "相信", ["xiang1", "xin4"]),
+    ("去照相馆照相", "照相", ["zhao4", "xiang4"]),
+    ("首相发表讲话", "首相", ["shou3", "xiang4"]),
+    ("将军在下棋", "将军", ["jiang1", "jun1"]),
+    ("打麻将消遣", "麻将", ["ma2", "jiang4"]),
+    ("将来的打算", "将来", ["jiang1", "lai2"]),
+    ("到处都是人", "到处", ["dao4", "chu4"]),
+    ("处理这个问题", "处理", ["chu2", "li3"]),
+    ("和同事相处融洽", "相处", ["xiang1", "chu3"]),
+    ("依法处罚违章", "处罚", ["chu3", "fa2"]),
+    ("房间很大", "房间", ["fang2", "jian1"]),
+    ("间接了解情况", "间接", ["jian4", "jie1"]),
+    ("站在中间位置", "中间", ["zhong1", "jian1"]),
+    ("调查研究民情", "调查", ["diao4", "cha2"]),
+    ("及时调整心态", "调整", ["tiao2", "zheng3"]),
+    ("空调坏了", "空调", ["kong1", "tiao2"]),
+    ("曲调十分优美", "曲调", ["qu3", "diao4"]),
+    ("下周出差办事", "出差", ["chu1", "chai1"]),
+    ("时间差不多了", "差不多", ["cha4", "bu5", "duo1"]),
+    ("两者差别很大", "差别", ["cha1", "bie2"]),
+    ("押解犯人上路", "押解", ["ya1", "jie4"]),
+    ("保持联系", "联系", ["lian2", "xi4"]),
+    ("积累工作经验", "积累", ["ji1", "lei3"]),
+    ("劳累过度生病", "劳累", ["lao2", "lei4"]),
+    ("节省时间和金钱", "节省", ["jie2", "sheng3"]),
+    ("认真反省自己", "反省", ["fan2", "xing3"]),
+    ("省会城市很繁华", "省会", ["sheng3", "hui4"]),
+    ("下地干活很辛苦", "干活", ["gan4", "huo2"]),
+    ("屋子干净整洁", "干净", ["gan1", "jing4"]),
+    ("干部下乡开会", "干部", ["gan4", "bu4"]),
+    ("饼干很好吃", "饼干", ["bing3", "gan1"]),
+    ("收藏古董邮票", "收藏", ["shou1", "cang2"]),
+    ("西藏高原风光", "西藏", ["xi1", "zang4"]),
+    ("挖到一批宝藏", "宝藏", ["bao3", "zang4"]),
+    ("垂死挣扎", "挣扎", ["zheng1", "zha2"]),
+    ("包扎伤口", "包扎", ["bao1", "za1"]),
+    ("基础很扎实", "扎实", ["zha1", "shi2"]),
+    ("吃方便面", "方便", ["fang1", "bian4"]),
+    ("顺便买点菜", "顺便", ["shun4", "bian4"]),
+    ("薄荷味的糖", "薄荷", ["bo4", "he5"]),
+    ("剥削劳动人民", "剥削", ["bo1", "xue1"]),
+    ("新鲜空气", "新鲜", ["xin1", "xian1"]),
+    ("朝鲜半岛局势", "朝鲜", ["chao2", "xian3"]),
+    ("他高兴极了", "高兴", ["gao1", "xing4"]),
+    ("兴奋得睡不着", "兴奋", ["xing1", "fen4"]),
+    ("生意兴旺发达", "兴旺", ["xing1", "wang4"]),
+    ("应该如此", "应该", ["ying1", "gai1"]),
+    ("答应了他的请求", "答应", ["da1", "ying5"]),
+    ("应用新技术", "应用", ["ying4", "yong4"]),
+    ("反应十分迅速", "反应", ["fan3", "ying4"]),
+    ("曾经来过这里", "曾经", ["ceng2", "jing1"]),
+    ("朝阳缓缓升起", "朝阳", ["zhao1", "yang2"]),
+    ("朝代更替频繁", "朝代", ["chao2", "dai4"]),
+    ("唐朝诗人李白", "唐朝", ["tang2", "chao2"]),
+    ("心脏很健康", "心脏", ["xin1", "zang4"]),
+    ("要塞十分坚固", "要塞", ["yao4", "sai4"]),
+    ("学生宿舍楼", "宿舍", ["su4", "she4"]),
+    ("预订住宿房间", "住宿", ["zhu4", "su4"]),
+    ("不小心摔倒在地", "摔倒", ["shuai1", "dao3"]),
+    ("给客人倒水", "倒水", ["dao4", "shui3"]),
+    ("今天真倒霉", "倒霉", ["dao3", "mei2"]),
+    ("放假休息三天", "放假", ["fang4", "jia4"]),
+    ("不要说假话", "假话", ["jia3", "hua4"]),
+    ("假期结束了", "假期", ["jia4", "qi1"]),
+    ("扮演重要角色", "角色", ["jue2", "se4"]),
+    ("画一个三角形", "三角", ["san1", "jiao3"]),
+    ("他是电影主角", "主角", ["zhu3", "jue2"]),
+    ("背包很沉重", "背包", ["bei1", "bao1"]),
+    ("背诵课文", "背诵", ["bei4", "song4"]),
+    ("试卷发下来了", "试卷", ["shi4", "juan4"]),
+    ("卷起袖子干活", "卷起", ["juan2", "qi3"]),
+    ("测量土地面积", "测量", ["ce4", "liang2"]),
+    ("数量众多", "数量", ["shu4", "liang4"]),
+    ("称一下重量", "重量", ["zhong4", "liang4"]),
+    ("市场经济活跃", "市场", ["shi4", "chang3"]),
+    ("在操场跑步", "操场", ["cao1", "chang3"]),
+    ("号召大家参与", "号召", ["hao4", "zhao4"]),
+    ("担心他的安全", "担心", ["dan1", "xin1"]),
+    ("承担全部责任", "承担", ["cheng2", "dan1"]),
+    ("床铺收拾整齐", "床铺", ["chuang2", "pu4"]),
+    ("铺路架桥修渠", "铺路", ["pu1", "lu4"]),
+    ("店铺早早关门", "店铺", ["dian4", "pu4"]),
+    ("墙上有一条缝隙", "缝隙", ["feng4", "xi4"]),
+    ("斗争十分激烈", "斗争", ["dou4", "zheng1"]),
+    ("北斗七星高挂", "北斗", ["bei2", "dou3"]),
+    ("为理想而奋斗", "奋斗", ["fen4", "dou4"]),
+    ("收到一封恐吓信", "恐吓", ["kong3", "he4"]),
+    ("别吓唬小孩子", "吓唬", ["xia4", "hu5"]),
+    ("先喝水再吃饭", "喝水", ["he1", "shui3"]),
+    ("观众喝彩叫好", "喝彩", ["he4", "cai3"]),
+    ("哄堂大笑起来", "哄堂", ["hong1", "tang2"]),
+    ("咽喉肿痛难忍", "咽喉", ["yan1", "hou2"]),
+    ("狼吞虎咽地吃", "虎咽", ["hu3", "yan4"]),
+    ("症状十分明显", "症状", ["zheng4", "zhuang4"]),
+    ("海边捡贝壳", "贝壳", ["bei4", "ke2"]),
+    ("地壳运动剧烈", "地壳", ["di4", "qiao4"]),
+    ("挑选新鲜水果", "挑选", ["tiao1", "xuan3"]),
+    ("勇敢挑战极限", "挑战", ["tiao3", "zhan4"]),
+    ("丧失了信心", "丧失", ["sang4", "shi1"]),
+    ("办完丧事回家", "丧事", ["sang1", "shi4"]),
+    ("向前奔跑", "奔跑", ["ben1", "pao3"]),
+    ("投奔远方亲友", "投奔", ["tou2", "ben4"]),
+    ("船只停泊在港口", "停泊", ["ting2", "bo2"]),
+    ("湖泊星罗棋布", "湖泊", ["hu2", "po1"]),
+    ("给爷爷盛饭", "盛饭", ["cheng2", "fan4"]),
+    ("盛大的节日", "盛大", ["sheng4", "da4"]),
+    ("草木茂盛", "茂盛", ["mao4", "sheng4"]),
+    ("禁止吸烟", "禁止", ["jin4", "zhi3"]),
+    ("经济发展迅速", "经济", ["jing1", "ji4"]),
+    ("救济受灾群众", "救济", ["jiu4", "ji4"]),
+    ("宁可不去", "宁可", ["ning4", "ke3"]),
+    ("生活安宁祥和", "安宁", ["an1", "ning2"]),
+    ("屏幕显示清晰", "屏幕", ["ping2", "mu4"]),
+    ("屏住呼吸等待", "屏住", ["bing3", "zhu4"]),
+    ("旋转木马转动", "旋转", ["xuan2", "zhuan3"]),
+    ("将士凯旋归来", "凯旋", ["kai3", "xuan2"]),
+    ("粘贴邮票寄信", "粘贴", ["zhan1", "tie1"]),
+    ("粘稠的液体", "粘稠", ["nian2", "chou2"]),
+    ("给予大力帮助", "给予", ["ji2", "yu3"]),
+    ("把书交给我", "交给", ["jiao1", "gei3"]),
+    ("大街小巷都知道", "小巷", ["xiao3", "xiang4"]),
+    ("模型飞机上天", "模型", ["mo2", "xing2"]),
+    ("模样十分可爱", "模样", ["mu2", "yang5"]),
+    ("蒙古大草原", "蒙古", ["meng2", "gu3"]),
+    ("启蒙老师难忘", "启蒙", ["qi3", "meng2"]),
+    ("倔强的脾气", "倔强", ["jue2", "jiang4"]),
+    ("意志坚强", "坚强", ["jian1", "qiang2"]),
+    ("勉强同意了", "勉强", ["mian2", "qiang3"]),
+    ("都市生活节奏快", "都市", ["du1", "shi4"]),
+    ("首都机场很大", "首都", ["shou3", "du1"]),
+    ("我们都来了", "都", ["dou1"]),
+    ("和平年代珍贵", "和平", ["he2", "ping2"]),
+    ("不要随声附和", "附和", ["fu4", "he4"]),
+    ("落后就要挨打", "落后", ["luo4", "hou4"]),
+    ("做事丢三落四", "落四", ["la4", "si4"]),
+    ("水平参差不齐", "参差", ["cen1", "ci1"]),
     ("这个银行的行长很严格", "银行", ["yin2", "hang2"]),
     ("这个银行的行长很严格", "行长", ["hang2", "zhang3"]),
     ("他在重庆工作", "重庆", ["chong2", "qing4"]),
