@@ -173,6 +173,10 @@ class TTSEngine:
         self.version_spec = version_spec
         self.emotion_extractor = emotion_extractor
         self._jitted: dict = {}
+        # padding accounting across run_prepared calls (bench/monitoring):
+        # capacity counts every frame the chip synthesized (padded batch x
+        # frame cap), delivered counts frames inside real requests' y_len
+        self.stats = {"frames_capacity": 0, "frames_delivered": 0}
         # fused Pallas MRF weights for the vocoder tail (inference fast
         # path; same parameters, weight-norm resolved). None disables.
         self.mrf_packed = None
@@ -259,6 +263,29 @@ class TTSEngine:
         m = self.frame_multiple
         return max(m, ((cap + m - 1) // m) * m)
 
+    def _predict_fn(self, t_x: int) -> Callable:
+        """Jitted duration-only pass (enc_p+sdp+dp) per text bucket — the
+        cheap first half of length-aware packing."""
+        key = ("predict", t_x)
+        if key not in self._jitted:
+            import jax
+
+            model = self.model
+
+            @jax.jit
+            def fn(params, x, x_lengths, sid, tone, language, bert, ja_bert,
+                   en_bert, emo, length_scale, noise_scale_w, sdp_ratio, rng):
+                return model.apply(
+                    params, x, x_lengths, sid, tone, language, bert, ja_bert,
+                    en_bert, emo=emo, length_scale=length_scale,
+                    noise_scale_w=noise_scale_w, sdp_ratio=sdp_ratio,
+                    method=type(model).predict_durations,
+                    rngs={"noise": rng},
+                )
+
+            self._jitted[key] = fn
+        return self._jitted[key]
+
     def _synth_fn(self, t_x: int, max_frames: int) -> Callable:
         key = (t_x, max_frames)
         if key not in self._jitted:
@@ -303,6 +330,7 @@ class TTSEngine:
         for t_x in buckets:
             mf = self._frame_cap(t_x, length_scale)
             fn = self._synth_fn(t_x, mf)
+            self._predict_fn(t_x)  # duration pass compiles on first call
             for b in batch_sizes:
                 zeros_i = jnp.zeros((b, t_x), jnp.int32)
                 bert = jnp.zeros((b, t_x, self.model.cfg.bert_dim), jnp.float32)
@@ -418,43 +446,23 @@ class TTSEngine:
             length_scale=float(length_scale), seed=int(seed),
         )
 
-    def run_prepared(self, reqs: Sequence[PreparedRequest]) -> list[np.ndarray]:
-        """Synthesize prepared requests in ONE batched device call.
-
-        All requests are padded to a shared (text bucket, frame cap); knobs
-        become per-item [b] arrays. Returns trimmed float32 waveforms in
-        request order. (The reference loops infer() per segment,
-        hiyoriUI.py:320-339 — here a paragraph's sentences and concurrent
-        HTTP requests ride one XLA call.)
-        """
-        import jax
-        import jax.numpy as jnp
-
-        kinds = {self.group_key(r)[1] for r in reqs}
-        if len(kinds) > 1:
-            raise ValueError(
-                "run_prepared: requests mix emotion input kinds "
-                f"{sorted(map(str, kinds))}; batch requests with the same "
-                "group_key (codebook index vs reference-audio vector are "
-                "different graphs)"
-            )
-        n_req = len(reqs)
-        # pad the batch dim to a power of two (duplicating the last request)
-        # so serve-time batches hit a small set of compiled batch shapes
-        # instead of one XLA compile per arrival count 1..max_batch
-        n_pad = 1 << max(n_req - 1, 0).bit_length()
+    def _pad_batch(self, reqs: list) -> tuple[list, int]:
+        """Pad the batch dim to a power of two (duplicating the last
+        request) so serve-time batches hit a small set of compiled batch
+        shapes instead of one XLA compile per arrival count 1..max_batch."""
+        n_pad = 1 << max(len(reqs) - 1, 0).bit_length()
         if self.mesh is not None:  # batch must split evenly over `data`
             n_data = self.mesh.shape.get("data", 1)
             # round UP to a multiple of n_data (max() only works when
             # n_data is itself a power of two; data=6 would give n_pad=8
             # and an uneven device_put split)
             n_pad = -(-n_pad // n_data) * n_data
-        reqs = list(reqs) + [reqs[-1]] * (n_pad - n_req)
-        lens = [len(r.inputs[0]) for r in reqs]
-        t_x = self._bucket(max(lens))
-        max_frames = self._frame_cap(
-            t_x, max(r.length_scale for r in reqs)
-        )
+        return list(reqs) + [reqs[-1]] * (n_pad - len(reqs)), n_pad
+
+    def _device_args(self, reqs: list, t_x: int):
+        """Stack/pad request tensors to [b, t_x, ...] device arrays."""
+        import jax
+        import jax.numpy as jnp
 
         def pad(a):
             width = [(0, t_x - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
@@ -462,15 +470,6 @@ class TTSEngine:
 
         stacked = [
             np.stack([pad(r.inputs[j]) for r in reqs]) for j in range(6)
-        ]
-        if reqs[0].emo is None:
-            emo = None
-        else:
-            emo = jnp.asarray(np.concatenate([r.emo for r in reqs], axis=0))
-        knobs = [
-            np.asarray([getattr(r, k) for r in reqs], np.float32)
-            for k in ("noise_scale", "length_scale", "noise_scale_w",
-                      "sdp_ratio")
         ]
         if self.mesh is None:
             put = jnp.asarray
@@ -482,23 +481,122 @@ class TTSEngine:
             def put(a):
                 return jax.device_put(np.asarray(a), sh)
 
+        if reqs[0].emo is None:
+            emo = None
+        else:
+            emo = put(np.concatenate([r.emo for r in reqs], axis=0))
+        knobs = {
+            k: put(np.asarray([getattr(r, k) for r in reqs], np.float32))
+            for k in ("noise_scale", "length_scale", "noise_scale_w",
+                      "sdp_ratio")
+        }
+        lens = put(np.asarray([len(r.inputs[0]) for r in reqs], np.int32))
+        sids = put(np.asarray([r.sid for r in reqs], np.int32))
+        return [put(s) for s in stacked], lens, sids, emo, knobs
+
+    def _check_one_kind(self, reqs):
+        kinds = {self.group_key(r)[1] for r in reqs}
+        if len(kinds) > 1:
+            raise ValueError(
+                "requests mix emotion input kinds "
+                f"{sorted(map(str, kinds))}; batch requests with the same "
+                "group_key (codebook index vs reference-audio vector are "
+                "different graphs)"
+            )
+
+    def predict_frames(self, reqs: Sequence[PreparedRequest]) -> np.ndarray:
+        """Predicted output frames per request [n] via the duration-only
+        pass (exact: same rng stream as the synthesis call)."""
+        import jax
+
+        self._check_one_kind(reqs)
+        n_req = len(reqs)
+        reqs, _ = self._pad_batch(list(reqs))
+        t_x = self._bucket(max(len(r.inputs[0]) for r in reqs))
+        stacked, lens, sids, emo, knobs = self._device_args(reqs, t_x)
+        fn = self._predict_fn(t_x)
+        frames = fn(
+            self.params, stacked[0], lens, sids, *stacked[1:], emo,
+            knobs["length_scale"], knobs["noise_scale_w"],
+            knobs["sdp_ratio"], jax.random.key(reqs[0].seed),
+        )
+        return np.asarray(frames)[:n_req]
+
+    def run_prepared(
+        self,
+        reqs: Sequence[PreparedRequest],
+        predicted_frames: np.ndarray | None = None,
+    ) -> list[np.ndarray]:
+        """Synthesize prepared requests in ONE batched device call.
+
+        All requests are padded to a shared (text bucket, frame cap); knobs
+        become per-item [b] arrays. Returns trimmed float32 waveforms in
+        request order. (The reference loops infer() per segment,
+        hiyoriUI.py:320-339 — here a paragraph's sentences and concurrent
+        HTTP requests ride one XLA call.)
+
+        The frame cap comes from the PREDICTED durations (length-aware: the
+        duration pass is <2% of synthesis cost and exact), bounded above by
+        the worst-case tokens*frames_per_token heuristic; pass
+        `predicted_frames` (from predict_frames) to skip re-prediction.
+        """
+        import jax
+
+        self._check_one_kind(reqs)
+        n_req = len(reqs)
+        if predicted_frames is None:
+            predicted_frames = self.predict_frames(reqs)
+        reqs, _ = self._pad_batch(list(reqs))
+        t_x = self._bucket(max(len(r.inputs[0]) for r in reqs))
+        # cap: predicted max, rounded up to the frame multiple, never above
+        # the worst-case bound (a degenerate duration model cannot OOM us)
+        m = self.frame_multiple
+        cap = -(-int(max(predicted_frames.max(), 1)) // m) * m
+        max_frames = min(
+            max(cap, m),
+            self._frame_cap(t_x, max(r.length_scale for r in reqs)),
+        )
+        stacked, lens, sids, emo, knobs = self._device_args(reqs, t_x)
         fn = self._synth_fn(t_x, max_frames)
         wave, _, _, y_len = fn(
-            self.params,
-            self.mrf_packed,
-            put(stacked[0]),
-            put(lens),
-            put([r.sid for r in reqs]),
-            *[put(s) for s in stacked[1:]],
-            emo if emo is None or self.mesh is None else put(emo),
-            *[put(k) for k in knobs],
+            self.params, self.mrf_packed, stacked[0], lens, sids,
+            *stacked[1:], emo, knobs["noise_scale"], knobs["length_scale"],
+            knobs["noise_scale_w"], knobs["sdp_ratio"],
             jax.random.key(reqs[0].seed),
         )
         wave, y_len = np.asarray(wave), np.asarray(y_len)
+        self.stats["frames_capacity"] += len(reqs) * max_frames
+        self.stats["frames_delivered"] += int(
+            np.minimum(y_len[:n_req], max_frames).sum()
+        )
         return [
             wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
             for i in range(n_req)
         ]
+
+    def run_packed(
+        self,
+        reqs: Sequence[PreparedRequest],
+        max_batch: int = 16,
+    ) -> list[np.ndarray]:
+        """Length-aware batched synthesis: predict every request's frame
+        count, sort by it, and cut the batch into <=max_batch chunks so
+        each chunk's frame cap hugs its own longest item — short utterances
+        stop paying for the longest one in the pile (delivered throughput,
+        VERDICT r3 item 5). Returns waveforms in request order.
+
+        The whole-pile prediction only ORDERS the requests; each chunk
+        re-predicts inside run_prepared so its cap is exact for the chunk's
+        own batch layout (the SDP noise stream is positional)."""
+        self._check_one_kind(reqs)
+        frames = self.predict_frames(reqs)
+        order = sorted(range(len(reqs)), key=lambda i: -int(frames[i]))
+        waves: dict[int, np.ndarray] = {}
+        for lo in range(0, len(order), max_batch):
+            idx = order[lo : lo + max_batch]
+            out = self.run_prepared([reqs[i] for i in idx])
+            waves.update(zip(idx, out))
+        return [waves[i] for i in range(len(reqs))]
 
     def infer_multilang(
         self,
@@ -529,11 +627,13 @@ class TTSEngine:
         noise_scale_w: float = 0.8,
         length_scale: float = 1.0,
         seed: int = 0,
+        max_batch: int = 16,
     ) -> list:
-        """Batched synthesis: all utterances padded to one shared (text
-        bucket, frame cap) and synthesized in ONE device call — the serving
-        throughput path (the reference loops infer() per segment,
-        hiyoriUI.py:320-339). Returns a list of trimmed float32 waveforms.
+        """Batched synthesis: utterances share device calls with frame caps
+        taken from their PREDICTED durations — piles larger than max_batch
+        are length-sorted and chunked (run_packed) so short texts never pad
+        to the longest one's frames. (The reference loops infer() per
+        segment, hiyoriUI.py:320-339.) Returns trimmed float32 waveforms.
 
         `language` and the four knobs accept either one value for the whole
         batch or a per-item sequence.
@@ -559,4 +659,6 @@ class TTSEngine:
             )
             for i in range(n)
         ]
-        return self.run_prepared(reqs)
+        if len(reqs) <= max_batch:
+            return self.run_prepared(reqs)
+        return self.run_packed(reqs, max_batch=max_batch)

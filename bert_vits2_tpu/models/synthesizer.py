@@ -229,6 +229,53 @@ class Synthesizer(nn.Module):
             "g": g,
         }
 
+    def predict_durations(
+        self,
+        x,
+        x_lengths,
+        sid,
+        tone,
+        language,
+        bert,
+        ja_bert,
+        en_bert,
+        emo=None,
+        length_scale=1.0,
+        noise_scale_w=0.8,
+        sdp_ratio=0.0,
+        y=None,
+        deterministic=True,
+    ):
+        """Predicted output frame counts [b] WITHOUT synthesizing.
+
+        Exact literal prefix of `infer` up to y_lengths (same module-call
+        order, so the flax "noise" rng stream matches): given the same rng
+        and knobs, `infer`'s y_lengths equals min(this, max_frames). The
+        serving layer uses it to pick per-batch frame caps from the ACTUAL
+        predicted lengths instead of a worst-case tokens*frames_per_token
+        bound — the cost is one cheap extra pass over enc_p+sdp+dp (<2% of
+        synthesis FLOPs; the vocoder dominates)."""
+
+        def knob(v, rank):
+            v = jnp.asarray(v, jnp.float32)
+            return v.reshape(v.shape + (1,) * (rank - v.ndim))
+
+        g = self._speaker(sid, y)
+        x_h, m_p, logs_p, x_mask = self.enc_p(
+            x, x_lengths, tone, language, bert, ja_bert, en_bert, emo=emo, g=g,
+            deterministic=deterministic,
+        )
+        logw_sdp = self.sdp(
+            x_h, x_mask, g=g, reverse=True, noise_scale=knob(noise_scale_w, 3),
+            deterministic=deterministic,
+        )
+        logw_dp = self.dp(x_h, x_mask, g=g, deterministic=deterministic)
+        sdp_ratio = knob(sdp_ratio, 3)
+        logw = logw_sdp * sdp_ratio + logw_dp * (1.0 - sdp_ratio)
+        w = jnp.exp(logw[..., 0]) * x_mask * knob(length_scale, 2)
+        y_lengths = jnp.clip(jnp.sum(jnp.ceil(w), axis=-1), min=1.0)
+        return y_lengths.astype(jnp.int32)
+
     def infer(
         self,
         x,
