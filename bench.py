@@ -171,12 +171,32 @@ def main() -> None:
     out["train"] = run_stage("train", min(budget_left() - 90, 1100))
     emit(out)
 
+    # -- train_device: same step timed inside one on-device fori_loop,
+    # cancelling the axon relay's per-dispatch round trip (the number a
+    # deployment with local dispatch gets). Merged into the train block. ---
+    if isinstance(out.get("train"), dict) and "steps_per_s" in out["train"]:
+        td = run_stage("train_device", min(budget_left() - 75, 1000))
+        if "steps_per_s_device" in td:
+            out["train"].update(td)
+            fl = out["train"].get("step_flops")
+            peak = peak_tflops(out.get("device_kind", ""))
+            if fl and peak:
+                tf = fl * td["steps_per_s_device"] / 1e12
+                out["train"]["tflops_per_s_device"] = round(tf, 2)
+                out["train"]["hw_flops_pct_device"] = round(
+                    100.0 * tf / peak, 2)
+        else:
+            out["train"]["train_device"] = td
+        emit(out)
+
     # -- sweep: first to be sacrificed -------------------------------------
     sweep_budget = budget_left() - 45
     if sweep_budget > 120:
         s = run_stage("sweep", sweep_budget,
                       extra=["--sweep-budget", str(int(sweep_budget - 30))])
         out["sweep"] = s.get("sweep", s)
+        if "sweep_delivered" in s:
+            out["sweep_delivered"] = s["sweep_delivered"]
         if isinstance(out["sweep"], dict):
             # the metric is PEAK capacity: take the best measured shape
             # (serving picks its own batch/bucket; 32x512 routinely beats
@@ -324,18 +344,69 @@ def stage_quick() -> dict:
     }
 
 
+def _packed_serving_run(bench, n_req: int = 64, max_batch: int = 16,
+                        iters: int = 4) -> dict:
+    """Length-aware packed serving measurement (TTSEngine.run_packed):
+    a heterogeneous pile of requests (token lengths ~U[32, t_x]), predicted
+    durations pick per-chunk frame caps, chunks are length-sorted. This is
+    the DELIVERED number a deployment buys — unlike the fixed-shape
+    capacity loop, padding waste is real work lost (VERDICT r3 item 5)."""
+    import numpy as np
+
+    from bert_vits2_tpu.infer.api import PreparedRequest, TTSEngine
+
+    cfg = bench.cfg
+    engine = TTSEngine(
+        bench.model, bench.params,
+        text_buckets=(32, 64, bench.t_x), frames_per_token=6,
+    )
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(n_req):
+        t = int(rng.integers(32, bench.t_x + 1))
+        inputs = (
+            rng.integers(1, cfg.n_vocab, t).astype(np.int32),
+            rng.integers(0, cfg.num_tones, t).astype(np.int32),
+            rng.integers(0, cfg.num_languages, t).astype(np.int32),
+            rng.normal(size=(t, cfg.bert_dim)).astype(np.float32),
+            rng.normal(size=(t, cfg.bert_dim)).astype(np.float32),
+            rng.normal(size=(t, cfg.bert_dim)).astype(np.float32),
+        )
+        reqs.append(PreparedRequest(
+            inputs=inputs, sid=int(rng.integers(0, cfg.n_speakers)),
+            length_scale=3.5,
+        ))
+    waves = engine.run_packed(reqs, max_batch=max_batch)  # compile + warm
+    engine.stats = {"frames_capacity": 0, "frames_delivered": 0}
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        waves = engine.run_packed(reqs, max_batch=max_batch)
+    dt = (time.perf_counter() - t0) / iters
+    delivered_s = sum(len(w) for w in waves) / bench.sr
+    eff = (engine.stats["frames_delivered"]
+           / max(engine.stats["frames_capacity"], 1))
+    return {
+        "delivered_audio_s_per_s": round(delivered_s / dt, 3),
+        "padding_efficiency": round(eff, 4),
+        "workload": f"{n_req} reqs x U[32,{bench.t_x}] tokens, "
+                    f"max_batch {max_batch}, length-sorted chunks",
+    }
+
+
 def stage_headline() -> dict:
-    """Peak shape (b=16 x 1024-frame cap) + the two MFU accountings."""
+    """Peak shape (b=16 x 1024-frame cap) + the two MFU accountings +
+    the packed-serving delivered measurement."""
     bench = _InferBench()
     b, t_x, mf = 16, bench.t_x, 1024
     log(f"headline shape ({b} x {t_x} tokens x {mf} frames) ...")
-    capacity, delivered, dt, compiled = bench.run_shape(b, mf, 3.5, 30)
+    capacity, _, dt, compiled = bench.run_shape(b, mf, 3.5, 30)
+    log("packed serving workload ...")
+    packed = _packed_serving_run(bench)
     out = {
         "value": round(capacity, 3),
-        "delivered_audio_s_per_s": round(delivered, 3),
-        "padding_efficiency": round(delivered / capacity, 4),
         "shape": f"{b}x{mf}",
         "device_kind": bench.dev.device_kind,
+        **packed,
     }
     # MFU two ways:
     #  - mfu_model_pct: ANALYTIC model FLOPs (true useful work; counts the
@@ -364,6 +435,7 @@ def stage_sweep(sweep_budget: float) -> dict:
     t0 = time.monotonic()
     bench = _InferBench()
     sweep: dict[str, float | None] = {}
+    delivered: dict[str, float | None] = {}
     # high-capacity shapes first: they anchor the peak and the curve
     shapes = [(32, 512), (16, 1024), (64, 256), (8, 512), (32, 1024),
               (64, 512), (16, 512), (8, 1024), (4, 1024), (16, 256),
@@ -372,10 +444,11 @@ def stage_sweep(sweep_budget: float) -> dict:
         if sweep_budget - (time.monotonic() - t0) < 150:
             sweep[f"{b}x{mf}"] = None  # skipped: bench budget
             continue
-        cap, _, _, _ = bench.run_shape(b, mf, 3.5, 8)
+        cap, dl, _, _ = bench.run_shape(b, mf, 3.5, 8)
         sweep[f"{b}x{mf}"] = round(cap, 1)
-        log(f"sweep {b}x{mf}: {cap:.1f} audio-s/s")
-    return {"sweep": sweep}
+        delivered[f"{b}x{mf}"] = round(dl, 1)
+        log(f"sweep {b}x{mf}: {cap:.1f} capacity / {dl:.1f} delivered")
+    return {"sweep": sweep, "sweep_delivered": delivered}
 
 
 def analytic_infer_flops(cfg, b, t_x, frames):
@@ -384,9 +457,11 @@ def analytic_infer_flops(cfg, b, t_x, frames):
     return f(cfg, b, t_x, frames)
 
 
-def stage_train() -> dict:
-    """Full-geometry fused GAN step (reference train_ms.py:422-607): batch 16
-    x 512 spec frames, bf16, dur-disc + SLM losses on (WavLM geometry equals
+def _train_setup():
+    """Shared train-bench setup -> dict of everything the train stages need.
+
+    Full geometry (reference train_ms.py:422-607): batch 16 x 512 spec
+    frames, bf16, dur-disc + SLM losses on (WavLM geometry equals
     wavlm-base-plus; random weights are FLOP-identical to the frozen
     original)."""
     import dataclasses
@@ -462,12 +537,30 @@ def stage_train() -> dict:
     # jit signature than the stepped state -> a silent second multi-minute
     # XLA compile that poisons the timing loop
     state = jax.device_put(state, dev)
-    step_fn = make_train_step(
-        models, train_cfg, data_cfg, cfg.segment_size,
-        slm_embed=slm_embed, slm_feature_fn=slm_feature_fn, donate=False,
-    )
+    def make_step(**kw):
+        return make_train_step(
+            models, train_cfg, data_cfg, cfg.segment_size,
+            slm_embed=slm_embed, slm_feature_fn=slm_feature_fn,
+            donate=False, **kw,
+        )
+
+    return {
+        "jax": jax, "jnp": jnp, "np": np, "dev": dev,
+        "state": state, "batch": batch, "make_step": make_step,
+        "b": b, "t_y": t_y, "hop": hop, "sr": sr,
+    }
+
+
+def stage_train() -> dict:
+    """Wall-clock train-step timing (sequential dispatches, as a training
+    loop would issue them). Over the axon dev relay each dispatch pays a
+    network round trip — see stage_train_device for the device-only time."""
+    s = _train_setup()
+    jax, np = s["jax"], s["np"]
+    step_fn = s["make_step"]()
+    state, batch = s["state"], s["batch"]
     key = jax.random.key(11)
-    lr = jnp.float32(2e-4)
+    lr = s["jnp"].float32(2e-4)
     log("compiling train step ...")
     # AOT-compile so the executable's cost analysis is readable afterwards
     # (same persistent-cache key as the traced call would use)
@@ -480,6 +573,7 @@ def stage_train() -> dict:
         state, metrics = compiled(state, batch, jax.random.fold_in(key, i), lr)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / n
+    b, t_y, hop, sr = s["b"], s["t_y"], s["hop"], s["sr"]
     out = {
         "steps_per_s": round(1.0 / dt, 3),
         "utt_audio_s_per_s": round(b * t_y * hop / sr / dt, 1),
@@ -489,15 +583,65 @@ def stage_train() -> dict:
     # hw_flops_pct: XLA cost-analysis FLOPs of the compiled GAN step / wall
     # / chip peak. Same caveat as the headline number: excludes the Pallas
     # kernels (MAS, banded attention), so it UNDERcounts real work.
-    peak = peak_tflops(dev.device_kind)
+    peak = peak_tflops(s["dev"].device_kind)
     try:
-        tflops_s = compiled.cost_analysis()["flops"] / dt / 1e12
+        out["step_flops"] = compiled.cost_analysis()["flops"]
+        tflops_s = out["step_flops"] / dt / 1e12
         out["tflops_per_s"] = round(tflops_s, 2)
         if peak:
             out["hw_flops_pct"] = round(100.0 * tflops_s / peak, 2)
     except Exception as e:  # noqa: BLE001
         log(f"train cost_analysis unavailable: {e}")
     return out
+
+
+def stage_train_device() -> dict:
+    """DEVICE-side train-step time: n steps inside one jitted lax.fori_loop
+    (state threaded through the carry, so steps run back-to-back on chip);
+    the n2-n1 difference cancels the fixed dispatch + D2H-sync cost. This is
+    the step time a deployment with local dispatch gets — the wall number in
+    stage_train additionally pays the axon dev relay's per-dispatch round
+    trip, which at ~100-ms step times dominates it (VERDICT r3 item 3)."""
+    s = _train_setup()
+    jax, jnp, np = s["jax"], s["jnp"], s["np"]
+    raw = s["make_step"](jit=False)
+    state, batch = s["state"], s["batch"]
+    lr = jnp.float32(2e-4)
+    key = jax.random.key(11)
+
+    @jax.jit
+    def loop(state, batch, key, lr, n):
+        # n is a TRACED trip count (one compile covers every n; a second
+        # static-n variant would double the multi-minute remote compile)
+        def body(i, carry):
+            st, _ = carry
+            st2, m = raw(st, batch, jax.random.fold_in(key, i), lr)
+            return (st2, m["loss/g/total"])
+
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    def t(n):
+        t0 = time.perf_counter()
+        _, loss = loop(state, batch, key, lr, jnp.int32(n))
+        np.asarray(loss)
+        return time.perf_counter() - t0
+
+    n1, n2 = 2, 6
+    log("compiling device-loop train step ...")
+    np.asarray(loop(state, batch, key, lr, jnp.int32(n1))[1])  # compile
+    np.asarray(loop(state, batch, key, lr, jnp.int32(n2))[1])  # warm
+    t1 = min(t(n1) for _ in range(2))
+    t2 = min(t(n2) for _ in range(2))
+    dt = (t2 - t1) / (n2 - n1)
+    b, t_y, hop, sr = s["b"], s["t_y"], s["hop"], s["sr"]
+    # per-step FLOPs come from the wall stage's AOT executable (the loop's
+    # trip count is traced, so its own cost analysis can't count per-step);
+    # main() merges hw_flops_pct_device using train.step_flops
+    return {
+        "steps_per_s_device": round(1.0 / dt, 3),
+        "utt_audio_s_per_s_device": round(b * t_y * hop / sr / dt, 1),
+        "timing": "lax.fori_loop difference (tools/_timing.py method)",
+    }
 
 
 if __name__ == "__main__":
@@ -509,6 +653,8 @@ if __name__ == "__main__":
             res = stage_headline()
         elif stage == "train":
             res = stage_train()
+        elif stage == "train_device":
+            res = stage_train_device()
         elif stage == "sweep":
             sb = 600.0
             if "--sweep-budget" in sys.argv:

@@ -194,8 +194,14 @@ def make_train_step(
     slm_embed: Optional[Callable] = None,
     slm_feature_fn: Optional[Callable] = None,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng, lr) -> (state, metrics).
+
+    jit=False returns the raw traceable function instead — callers that need
+    to embed the step inside a larger jitted program (e.g. the bench's
+    device-side `lax.fori_loop` timing loop, which cancels the per-dispatch
+    relay cost) wrap it themselves.
 
     batch keys: x, x_lengths, spec [b,t,spec_ch], spec_lengths, wave [b,t_samp],
     sid, tone, language, bert, ja_bert, en_bert.
@@ -437,4 +443,6 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -68,6 +68,8 @@ def main(argv=None) -> int:
     p.add_argument("--bench-batch", type=int, default=8,
                    help="batch size for the delivered-throughput measurement")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--no-parity", action="store_true",
+                   help="skip the torch-reference mel-parity run")
     args = p.parse_args(argv)
 
     if args.fetch and not find_ckpt(args.ckpt):
@@ -166,6 +168,61 @@ def main(argv=None) -> int:
         delivered = sum(len(w) for w in waves) / engine.sampling_rate
         out["delivered_audio_s_per_s_trained"] = round(delivered / dt, 1)
         out["bench_batch"] = args.bench_batch
+
+    # (b) mel-parity vs the reference torch model on the SAME weights
+    # (BASELINE.md north-star row 2; reference deps are stubbed so this
+    # runs offline — tools/parity_reference.py)
+    if not args.no_parity:
+        import subprocess
+
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/parity_reference.py"),
+             "--ckpt", os.path.abspath(path), "--json"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        print(p.stderr[-2000:], file=sys.stderr)
+        parity = None
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                try:
+                    parity = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if parity:
+            out["mel_err"] = parity["mel_max_abs_err"]
+            out["mel_parity_ok"] = parity["mel_parity_ok"]
+        else:
+            out["mel_err"] = None
+            out["parity_error"] = f"rc={p.returncode}"
+
+    # (c) onnxruntime over the exported graphs, when installable
+    try:
+        import onnxruntime  # noqa: F401
+
+        from bert_vits2_tpu.compat.onnx_export import export_onnx
+        from bert_vits2_tpu.compat.onnx_infer import OnnxTTSPipeline
+
+        onnx_dir = os.path.join(args.out_dir, "onnx")
+        export_onnx(model, params, onnx_dir, name="demo", t_x=32,
+                    max_frames=256)
+        tts = OnnxTTSPipeline(onnx_dir, name="demo")
+        t = 9
+        rng0 = np.random.default_rng(0)
+        ones = np.ones((1, t), np.int64)
+        w, _ = tts(
+            rng0.integers(1, cfg.n_vocab, (1, t)), ones, ones,
+            rng0.normal(size=(1, t, cfg.bert_dim)).astype(np.float32),
+            rng0.normal(size=(1, t, cfg.bert_dim)).astype(np.float32),
+            rng0.normal(size=(1, t, cfg.bert_dim)).astype(np.float32),
+            np.asarray([0]),
+        )
+        out["onnx_ok"] = bool(np.isfinite(np.asarray(w)).all())
+    except ImportError:
+        out["onnx_ok"] = "skipped (onnxruntime not installed in image)"
+    except Exception as e:  # noqa: BLE001 - report, don't crash the demo
+        out["onnx_ok"] = f"failed: {e}"
+
     print(json.dumps(out))
     return 0
 

@@ -58,9 +58,23 @@ def _ref_workdir() -> str:
     return work
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import numpy as np
     import torch
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default=None,
+                    help="load this G_*.pth into BOTH models (trained-"
+                         "checkpoint parity, BASELINE.md north-star row 2); "
+                         "default: random-init reference weights")
+    ap.add_argument("--config", default=None,
+                    help="config.json for the checkpoint (default: the "
+                         "reference repo's configs/config.json)")
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON line at the end")
+    args = ap.parse_args(argv)
 
     _stub_reference_deps()
     os.chdir(_ref_workdir())
@@ -68,7 +82,8 @@ def main():
 
     import utils as ref_utils
 
-    hps = ref_utils.get_hparams_from_file(os.path.join(REF, "configs/config.json"))
+    config_path = args.config or os.path.join(REF, "configs/config.json")
+    hps = ref_utils.get_hparams_from_file(config_path)
     from models import SynthesizerTrn as RefSynth
     from text.symbols import symbols as ref_symbols
 
@@ -80,6 +95,10 @@ def main():
         n_speakers=hps.data.n_speakers,
         **hps.model,
     ).eval()
+    if args.ckpt:
+        # the reference's own loader (handles its key quirks, utils.py:90-109)
+        ref_utils.load_checkpoint(args.ckpt, net_g, None, skip_optimizer=True)
+        net_g.eval()
 
     # ---- inputs (batch=1, deterministic) ----
     rng = np.random.default_rng(7)
@@ -110,9 +129,12 @@ def main():
     wave_t = wave_t[0, 0].numpy()
     y_len_t = int(attn_t.sum())
 
-    sd_path = "/tmp/bvt_parity_ref/G_0.pth"
-    torch.save({"model": net_g.state_dict(), "iteration": 0,
-                "learning_rate": 2e-4, "optimizer": None}, sd_path)
+    if args.ckpt:
+        sd_path = args.ckpt
+    else:
+        sd_path = "/tmp/bvt_parity_ref/G_0.pth"
+        torch.save({"model": net_g.state_dict(), "iteration": 0,
+                    "learning_rate": 2e-4, "optimizer": None}, sd_path)
 
     # ---- JAX side ----
     sys.path.insert(0, "/root/repo")
@@ -163,6 +185,29 @@ def main():
     err = np.abs(wave_t[:n] - wave_j[:n]).max()
     denom = np.abs(wave_t[:n]).max()
     print(f"wave max-abs-err={err:.3e} (signal max {denom:.3e}) over {n} samples")
+
+    # mel-spectrogram parity — the BASELINE.md north-star metric (allclose
+    # atol 1e-2 vs the reference on the same weights). Same mel transform on
+    # both waveforms (ops/stft.py bit-matches mel_processing.py).
+    from bert_vits2_tpu.ops.stft import mel_spectrogram
+
+    def mel(w):
+        return np.asarray(mel_spectrogram(
+            jnp.asarray(w[None], jnp.float32), 2048, 128, 44100, 512, 2048,
+            0.0, None))
+
+    mel_err = float(np.abs(mel(wave_t[:n]) - mel(wave_j[:n])).max())
+    print(f"log-mel max-abs-err={mel_err:.3e}")
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "checkpoint": os.path.basename(sd_path),
+            "wave_max_abs_err": float(err),
+            "mel_max_abs_err": mel_err,
+            "y_len_torch": y_len_t, "y_len_jax": y_len_j,
+            "mel_parity_ok": bool(mel_err <= 1e-2 and y_len_t == y_len_j),
+        }))
     assert y_len_t == y_len_j, "predicted lengths differ"
     assert err <= 1e-2, f"waveform parity failed: {err}"
     print("PARITY OK")
