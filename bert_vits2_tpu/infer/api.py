@@ -317,11 +317,14 @@ class TTSEngine:
         buckets: Sequence[int] | None = None,
         length_scale: float = 1.0,
     ) -> int:
-        """Pre-compile the (batch, bucket, frame-cap) grid a server expects,
-        so the first live request never pays a multi-second XLA compile.
-        Returns the number of graphs compiled. Serving pads batches to
-        powers of two (run_prepared), so a handful of sizes covers all
-        arrival counts."""
+        """Pre-compile the (batch, bucket, worst-case frame-cap) grid plus
+        the duration-predict pass per bucket. Returns the number of graphs
+        compiled. Serving pads batches to powers of two (run_prepared), so
+        a handful of sizes covers all arrival counts. Note: run_prepared
+        picks TIGHTER caps from predicted durations (multiples of
+        frame_multiple), so steady-state serving compiles those lazily on
+        first sight — warmup bounds the worst case, it does not cover every
+        cap."""
         import jax
         import jax.numpy as jnp
 

@@ -103,6 +103,14 @@ class MicroBatcher:
                 same = [p for p in self._queue if p.key == head.key]
                 remaining = deadline - time.monotonic()
                 if len(same) >= self.max_batch or remaining <= 0 or self._closed:
+                    # burst packing: when more than one call's worth is
+                    # queued, co-batch similar text lengths so the flush's
+                    # duration-predicted frame cap stays tight (the
+                    # leftovers flush immediately next loop — their
+                    # deadline has already passed)
+                    if len(same) > self.max_batch:
+                        same.sort(key=lambda p: len(p.req.inputs[0]),
+                                  reverse=True)
                     group = same[: self.max_batch]
                     taken = set(map(id, group))
                     self._queue = [

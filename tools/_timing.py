@@ -16,19 +16,36 @@ from functools import partial
 import numpy as np
 
 
+def cache_dir() -> str:
+    """Per-machine persistent-cache path.
+
+    XLA:CPU AOT entries are machine-feature locked: loading an entry
+    compiled on a host with different CPU flags logs 'could lead to
+    SIGILL' and can crash. The driver may run each round on a different
+    machine, so key the cache dir by a hash of the host CPU flags — TPU
+    entries still amortize across runs within a round."""
+    import hashlib
+    import os
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache", tag)
+
+
 def setup_cache():
     """Point jax at the repo's persistent compilation cache (remote
     compiles are multi-minute and the relay connection sometimes drops —
     a warm cache makes reruns resumable)."""
-    import os
-
     import jax
 
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # noqa: BLE001
         pass

@@ -60,6 +60,10 @@ def find_ckpt(explicit: str | None) -> str | None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--ckpt", default=None, help="G_*.pth path")
+    p.add_argument("--config", default=None,
+                   help="config.json for the checkpoint (default: the "
+                        "built-in v2.3 geometry; also forwarded to the "
+                        "parity run)")
     p.add_argument("--fetch", action="store_true",
                    help="attempt to download the community V2.3 base model "
                         "first (needs network)")
@@ -70,6 +74,9 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-parity", action="store_true",
                    help="skip the torch-reference mel-parity run")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "overrides JAX_PLATFORMS at import time)")
     args = p.parse_args(argv)
 
     if args.fetch and not find_ckpt(args.ckpt):
@@ -92,9 +99,12 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(REPO, ".jax_cache"))
+        from tools._timing import cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir())
     except Exception:  # noqa: BLE001
         pass
 
@@ -106,8 +116,16 @@ def main(argv=None) -> int:
     from bert_vits2_tpu.utils.audio import write_wav
 
     print(f"checkpoint: {path}", file=sys.stderr)
-    cfg = dataclasses.replace(ModelConfig(),
-                              infer_compute_dtype="bfloat16")
+    if args.config:
+        from bert_vits2_tpu.compat.hparams import (
+            get_hparams_from_file,
+            model_config_from_hparams,
+        )
+
+        cfg = model_config_from_hparams(get_hparams_from_file(args.config))
+    else:
+        cfg = ModelConfig()
+    cfg = dataclasses.replace(cfg, infer_compute_dtype="bfloat16")
     model = Synthesizer(cfg)
     # init a params skeleton (shapes only), then overwrite from the .pth
     b0, t_x0 = 1, 8
@@ -175,11 +193,12 @@ def main(argv=None) -> int:
     if not args.no_parity:
         import subprocess
 
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools/parity_reference.py"),
-             "--ckpt", os.path.abspath(path), "--json"],
-            capture_output=True, text=True, timeout=1800,
-        )
+        cmd = [sys.executable,
+               os.path.join(REPO, "tools/parity_reference.py"),
+               "--ckpt", os.path.abspath(path), "--json"]
+        if args.config:
+            cmd += ["--config", os.path.abspath(args.config)]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         print(p.stderr[-2000:], file=sys.stderr)
         parity = None
         for line in reversed(p.stdout.strip().splitlines()):

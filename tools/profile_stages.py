@@ -70,14 +70,9 @@ if __name__ == "__main__":
 
     # persistent cache: re-profiling after a code change only recompiles
     # the changed stage (remote compiles are multi-minute and flaky)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # noqa: BLE001
-        pass
+    from tools._timing import setup_cache
+
+    setup_cache()
 
     from __graft_entry__ import _full_config, _text_batch
     from bert_vits2_tpu.models import Synthesizer
