@@ -133,7 +133,9 @@ def main() -> int:
         jfn = jax.jit(fn)
         out = jfn(*a)
         jax.block_until_ready(out)
-        t = device_timeit(jfn, *a)
+        # long loops: sub-5ms stages need hundreds of iterations for the
+        # difference method to rise above relay-jitter on the fixed cost
+        t = device_timeit(jfn, *a, n1=8, n2=64)
         try:
             fl = jfn.lower(*a).compile().cost_analysis()["flops"]
         except Exception:  # noqa: BLE001
@@ -181,7 +183,8 @@ def main() -> int:
     add("sdp+dp (duration losses)",
         lambda xh: synth.apply(
             {"params": p_g}, xh, w_dur,
-            deterministic=False, rngs={"noise": key},
+            deterministic=False,
+            rngs={"noise": key, "dropout": jax.random.key(9)},
             method=lambda m, xh_, w, **k: (
                 m.sdp(xh_, x_mask, w=w, g=g_vec, **k),
                 m.dp(xh_, x_mask, g=g_vec, **k),
@@ -211,14 +214,17 @@ def main() -> int:
             {"params": p_dd}, xh, x_mask, w_dur, w_dur, g=g_vec),
         x_h)
     if slm_embed is not None:
+        # WavLM params ride as ARGUMENTS: closing over the 95M-param tree
+        # embeds ~380MB of constants in the HLO and the remote compile
+        # service rejects the request (HTTP 413)
         wl_dev = jax.device_put(slm_embed.params, dev)
         add("WavLM embed (resample+WavLM)",
-            lambda w: slm_embed(wl_dev, w[:, 0]), y_wave)
-        emb_shape = jax.eval_shape(lambda w: slm_embed(wl_dev, w[:, 0]),
-                                   y_wave)
+            lambda p, w: slm_embed(p, w[:, 0]), wl_dev, y_wave)
+        emb_shape = jax.eval_shape(
+            lambda p, w: slm_embed(p, w[:, 0]), wl_dev, y_wave)
         emb = jnp.zeros(emb_shape.shape, jnp.float32)
         add("WavLM disc fwd",
-            lambda e: wavlm_disc.apply({"params": p_wd}, e), emb)
+            lambda pw, e: wavlm_disc.apply({"params": pw}, e), p_wd, emb)
 
     # full fused step (all four updates; the real thing)
     state = init_train_state(
