@@ -1,0 +1,116 @@
+"""ZH reading-divergence estimate vs pypinyin (VERDICT r3 item 7).
+
+The reference resolves polyphones with pypinyin's ~100k-entry phrase
+dictionary (chinese.py:79-184); this repo ships a 21k-char table + word
+override layer. This tool measures how often the two disagree at the WORD
+level over open text — the number that bounds the long-tail risk.
+
+    python tools/zh_divergence.py               # built-in corpus
+    python tools/zh_divergence.py --text my.txt # one sentence per line
+
+pypinyin is not installed in the offline image; the tool then prints one
+JSON line with "skipped" and exits 0 (run it on the first online pass,
+alongside demo_real_ckpt).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# A compact open-text sample: declarative sentences over everyday,
+# news-register and polyphone-heavy vocabulary (same register the
+# polyphone corpus regression-tests).
+BUILTIN = [
+    "今天天气很好，我们一起去公园散步吧。",
+    "这家银行的行长正在开会，请稍等一会儿。",
+    "他在重庆工作了三年，去年才回到北京。",
+    "经济增长速度放缓，市场反应比较平静。",
+    "孩子们在操场上快乐地奔跑。",
+    "她觉得这首曲子的曲调非常优美。",
+    "老师教我们数学，也教我们做人的道理。",
+    "种子发芽之后，要及时浇水施肥。",
+    "他把行李放在了火车站的寄存处。",
+    "这篇传记记录了将军的一生。",
+    "商店里的东西都打了折扣。",
+    "医生给病人开了三种药。",
+    "长城是中国古代伟大的建筑。",
+    "研究人员正在调查事故的原因。",
+    "他弹了一首曲子，大家都鼓掌喝彩。",
+    "请把这封信交给王处长。",
+    "农民种地很辛苦，粮食来之不易。",
+    "会议的内容还没有传达下去。",
+    "这条裙子比那条便宜得多。",
+    "他因为工作出色而得到了提拔。",
+    "地上的积雪还没有融化。",
+    "我们应该互相帮助，共同进步。",
+    "飞机正点到达首都机场。",
+    "他的话引起了大家的兴趣。",
+    "这个问题很难，需要仔细思考。",
+    "河水很深，大家不要靠近。",
+    "展览会上展出了许多新产品。",
+    "秋天到了，树叶渐渐变黄了。",
+    "他一边唱歌一边弹吉他。",
+    "图书馆里安静得连针掉在地上都能听见。",
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--text", default=None,
+                    help="file with one sentence per line")
+    ap.add_argument("--limit", type=int, default=5000)
+    args = ap.parse_args(argv)
+
+    try:
+        from pypinyin import Style, lazy_pinyin
+    except ImportError:
+        print(json.dumps({
+            "skipped": "pypinyin not installed in this image; run online "
+                       "(pip install pypinyin) for the divergence estimate",
+        }))
+        return 0
+
+    import jieba
+
+    from bert_vits2_tpu.text.mandarin_lexicon import word_to_pinyin
+
+    sentences = BUILTIN
+    if args.text:
+        with open(args.text, encoding="utf-8") as f:
+            sentences = [ln.strip() for ln in f if ln.strip()][: args.limit]
+
+    total = diverged = 0
+    misses: dict[str, tuple[str, str]] = {}
+    for sent in sentences:
+        for word in jieba.cut(sent):
+            if not all("一" <= c <= "鿿" for c in word):
+                continue
+            syls = word_to_pinyin(word)
+            ours = " ".join(s if s else "?" for s in syls)
+            ref = " ".join(
+                lazy_pinyin(word, style=Style.TONE3,
+                            neutral_tone_with_five=True)
+            )
+            total += 1
+            if ours != ref:
+                diverged += 1
+                misses.setdefault(word, (ours, ref))
+    out = {
+        "words": total,
+        "diverged": diverged,
+        "divergence_rate": round(diverged / max(total, 1), 4),
+        "top_misses": {w: {"ours": a, "pypinyin": b}
+                       for w, (a, b) in list(misses.items())[:40]},
+    }
+    print(json.dumps(out, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
