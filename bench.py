@@ -93,9 +93,12 @@ def emit(out: dict) -> None:
         "vs_baseline": round(value / 10.0, 3),
         "notes": (
             "peak counts every synthesized bucket frame (static shapes); "
-            "delivered uses predicted y_lengths at length_scale-calibrated "
-            "~3.5 frames/token (no trained ckpt in image). D2H waveform "
-            "transfer excluded: axon dev tunnel, not PCIe."
+            "delivered runs the length-aware packed serving path with "
+            "duration-predicted frame caps. D2H waveform transfer excluded "
+            "(axon dev tunnel, not PCIe). Wall numbers pay the relay's "
+            "per-dispatch round trip (relay_rtt_ms, varies sub-ms..0.4s "
+            "between runs); *_rtt_corrected are the device work rates a "
+            "local deployment gets."
         ),
         **{k: v for k, v in out.items() if k != "value"},
     }), flush=True)
@@ -197,6 +200,15 @@ def main() -> None:
         out["sweep"] = s.get("sweep", s)
         if "sweep_delivered" in s:
             out["sweep_delivered"] = s["sweep_delivered"]
+        if "sweep_rtt_corrected" in s:
+            out["sweep_rtt_corrected"] = s["sweep_rtt_corrected"]
+            best_c = max(
+                (v for v in s["sweep_rtt_corrected"].values()
+                 if isinstance(v, (int, float))),
+                default=None,
+            )
+            if best_c and best_c > out.get("value_rtt_corrected", 0.0):
+                out["value_rtt_corrected"] = best_c
         if isinstance(out["sweep"], dict):
             # the metric is PEAK capacity: take the best measured shape
             # (serving picks its own batch/bucket; 32x512 routinely beats
@@ -282,6 +294,24 @@ class _InferBench:
                 cfg.upsample_initial_channel, cfg.infer_compute_dtype),
             self.dev)
 
+    def measure_rtt(self) -> float:
+        """Median sync round trip of a trivial device op — the per-dispatch
+        cost this image's axon relay adds to EVERY call. Varies run to run
+        (sub-ms to ~0.4 s observed); reported so wall numbers can be
+        reconciled across relay conditions."""
+        import numpy as np
+
+        jax, jnp = self.jax, self.jnp
+        tiny = jax.jit(lambda x: x + 1.0)
+        xt = jax.device_put(jnp.zeros((8,), jnp.float32), self.dev)
+        np.asarray(tiny(xt))  # compile
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(tiny(xt))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
     def make_synth(self, max_frames: int, length_scale: float):
         from bert_vits2_tpu.models import Synthesizer
 
@@ -338,8 +368,12 @@ def stage_quick() -> dict:
     b, mf = 8, 512
     log(f"quick shape ({b} x {bench.t_x} tokens x {mf} frames) ...")
     capacity, delivered, dt, _ = bench.run_shape(b, mf, 3.5, 8)
+    rtt = bench.measure_rtt()
+    dt_dev = max(dt - rtt, dt * 0.05)
     return {
         "value": round(capacity, 3),
+        "value_rtt_corrected": round(capacity * dt / dt_dev, 3),
+        "relay_rtt_ms": round(rtt * 1e3, 1),
         "delivered_audio_s_per_s": round(delivered, 3),
         "padding_efficiency": round(delivered / capacity, 4),
         "shape": f"{b}x{mf}",
@@ -382,18 +416,32 @@ def _packed_serving_run(bench, n_req: int = 64, max_batch: int = 16,
             inputs=inputs, sid=int(rng.integers(0, cfg.n_speakers)),
             length_scale=3.5,
         ))
-    waves = engine.run_packed(reqs, max_batch=max_batch)  # compile + warm
+    # compile + warm (waveforms stay on device: a [16, cap*512] f32 wave is
+    # tens of MB and this image's dev tunnel would dominate the timing; a
+    # deployment's PCIe D2H is negligible — same accounting as the
+    # capacity metric's scalar drain)
+    lens = engine.run_packed(reqs, max_batch=max_batch, return_waves=False)
     engine.stats = {"frames_capacity": 0, "frames_delivered": 0}
+    n_calls = 0
     t0 = time.perf_counter()
     for _ in range(iters):
-        waves = engine.run_packed(reqs, max_batch=max_batch)
+        lens = engine.run_packed(reqs, max_batch=max_batch,
+                                 return_waves=False)
+        n_calls += 2 * -(-n_req // max_batch)  # predict + synth per chunk
     dt = (time.perf_counter() - t0) / iters
-    delivered_s = sum(len(w) for w in waves) / bench.sr
+    delivered_s = sum(lens) / bench.sr
     eff = (engine.stats["frames_delivered"]
            / max(engine.stats["frames_capacity"], 1))
+    rtt = bench.measure_rtt()
+    # the packed path syncs per predict/synth call; subtract the measured
+    # relay round trip for the device-work rate a local deployment gets
+    dt_dev = max(dt - rtt * (n_calls / iters), dt * 0.05)
     return {
         "delivered_audio_s_per_s": round(delivered_s / dt, 3),
+        "delivered_audio_s_per_s_rtt_corrected": round(
+            delivered_s / dt_dev, 3),
         "padding_efficiency": round(eff, 4),
+        "relay_rtt_ms": round(rtt * 1e3, 1),
         "workload": f"{n_req} reqs x U[32,{bench.t_x}] tokens, "
                     f"max_batch {max_batch}, length-sorted chunks",
     }
@@ -406,10 +454,17 @@ def stage_headline() -> dict:
     b, t_x, mf = 16, bench.t_x, 1024
     log(f"headline shape ({b} x {t_x} tokens x {mf} frames) ...")
     capacity, _, dt, compiled = bench.run_shape(b, mf, 3.5, 30)
+    rtt = bench.measure_rtt()
+    # each dispatch over the axon relay pays ~rtt even when enqueued
+    # asynchronously (observed: the same shape ran 1001 audio-s/s wall on
+    # a sub-ms-rtt day and ~345 on a ~0.35 s-rtt day); the corrected
+    # number is the device work rate a local deployment gets
+    dt_dev = max(dt - rtt, dt * 0.05)
     log("packed serving workload ...")
     packed = _packed_serving_run(bench)
     out = {
         "value": round(capacity, 3),
+        "value_rtt_corrected": round(capacity * dt / dt_dev, 3),
         "shape": f"{b}x{mf}",
         "device_kind": bench.dev.device_kind,
         **packed,
@@ -425,6 +480,8 @@ def stage_headline() -> dict:
     out["model_tflop_per_call"] = round(model_fl / 1e12, 3)
     if peak:
         out["mfu_model_pct"] = round(100.0 * model_fl / dt / 1e12 / peak, 2)
+        out["mfu_model_pct_rtt_corrected"] = round(
+            100.0 * model_fl / dt_dev / 1e12 / peak, 2)
     try:
         flops = compiled.cost_analysis()["flops"]
         tflops_s = flops / dt / 1e12
@@ -442,6 +499,8 @@ def stage_sweep(sweep_budget: float) -> dict:
     bench = _InferBench()
     sweep: dict[str, float | None] = {}
     delivered: dict[str, float | None] = {}
+    corrected: dict[str, float | None] = {}
+    rtt = None
     # high-capacity shapes first: they anchor the peak and the curve
     shapes = [(32, 512), (16, 1024), (64, 256), (8, 512), (32, 1024),
               (64, 512), (16, 512), (8, 1024), (4, 1024), (16, 256),
@@ -450,11 +509,16 @@ def stage_sweep(sweep_budget: float) -> dict:
         if sweep_budget - (time.monotonic() - t0) < 150:
             sweep[f"{b}x{mf}"] = None  # skipped: bench budget
             continue
-        cap, dl, _, _ = bench.run_shape(b, mf, 3.5, 8)
+        cap, dl, dt, _ = bench.run_shape(b, mf, 3.5, 8)
+        if rtt is None:
+            rtt = bench.measure_rtt()
         sweep[f"{b}x{mf}"] = round(cap, 1)
         delivered[f"{b}x{mf}"] = round(dl, 1)
+        corrected[f"{b}x{mf}"] = round(cap * dt / max(dt - rtt, dt * 0.05), 1)
         log(f"sweep {b}x{mf}: {cap:.1f} capacity / {dl:.1f} delivered")
-    return {"sweep": sweep, "sweep_delivered": delivered}
+    return {"sweep": sweep, "sweep_delivered": delivered,
+            "sweep_rtt_corrected": corrected,
+            "relay_rtt_ms": round((rtt or 0.0) * 1e3, 1)}
 
 
 def analytic_infer_flops(cfg, b, t_x, frames):

@@ -529,6 +529,7 @@ class TTSEngine:
         self,
         reqs: Sequence[PreparedRequest],
         predicted_frames: np.ndarray | None = None,
+        return_waves: bool = True,
     ) -> list[np.ndarray]:
         """Synthesize prepared requests in ONE batched device call.
 
@@ -567,11 +568,21 @@ class TTSEngine:
             knobs["noise_scale_w"], knobs["sdp_ratio"],
             jax.random.key(reqs[0].seed),
         )
-        wave, y_len = np.asarray(wave), np.asarray(y_len)
+        y_len = np.asarray(y_len)
         self.stats["frames_capacity"] += len(reqs) * max_frames
         self.stats["frames_delivered"] += int(
             np.minimum(y_len[:n_req], max_frames).sum()
         )
+        if not return_waves:
+            # benchmarking/monitoring: leave the waveforms on device (the
+            # y_len fetch above already forced execution); return lengths
+            # in samples. Over this image's dev tunnel a [b, cap*512] f32
+            # waveform is tens of MB per call — dominating any timing.
+            return [
+                min(int(y_len[i]), max_frames) * self.hop_length
+                for i in range(n_req)
+            ]
+        wave = np.asarray(wave)
         return [
             wave[i, : min(int(y_len[i]), max_frames) * self.hop_length]
             for i in range(n_req)
@@ -581,6 +592,7 @@ class TTSEngine:
         self,
         reqs: Sequence[PreparedRequest],
         max_batch: int = 16,
+        return_waves: bool = True,
     ) -> list[np.ndarray]:
         """Length-aware batched synthesis: predict every request's frame
         count, sort by it, and cut the batch into <=max_batch chunks so
@@ -597,7 +609,9 @@ class TTSEngine:
         waves: dict[int, np.ndarray] = {}
         for lo in range(0, len(order), max_batch):
             idx = order[lo : lo + max_batch]
-            out = self.run_prepared([reqs[i] for i in idx])
+            out = self.run_prepared(
+                [reqs[i] for i in idx], return_waves=return_waves
+            )
             waves.update(zip(idx, out))
         return [waves[i] for i in range(len(reqs))]
 

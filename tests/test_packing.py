@@ -117,3 +117,16 @@ class TestRunPacked:
         reqs = [_req(cfg, rng, int(t)) for t in rng.integers(4, 14, 5)]
         out = engine.run_packed(reqs, max_batch=2)
         assert all(isinstance(w, np.ndarray) and w.ndim == 1 for w in out)
+
+    def test_return_waves_false_gives_lengths(self, engine):
+        """Scalar-drain mode: lengths (in samples) match the waves."""
+        cfg = engine.model.cfg
+        rng = np.random.default_rng(6)
+        reqs = [_req(cfg, rng, t) for t in (5, 9)]
+        waves = engine.run_prepared(reqs)
+        lens = engine.run_prepared(reqs, return_waves=False)
+        assert lens == [len(w) for w in waves]
+        lens_packed = engine.run_packed(reqs, max_batch=1,
+                                        return_waves=False)
+        singles = [engine.run_prepared([r])[0] for r in reqs]
+        assert lens_packed == [len(w) for w in singles]
