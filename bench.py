@@ -178,7 +178,9 @@ def main() -> None:
     # cancelling the axon relay's per-dispatch round trip (the number a
     # deployment with local dispatch gets). Merged into the train block. ---
     if isinstance(out.get("train"), dict) and "steps_per_s" in out["train"]:
-        td = run_stage("train_device", min(budget_left() - 75, 1000))
+        # cold-cache loop compile is ~15 min remotely; with a warm
+        # persistent cache this stage is ~1 min
+        td = run_stage("train_device", min(budget_left() - 75, 1400))
         if "steps_per_s_device" in td:
             out["train"].update(td)
             fl = out["train"].get("step_flops")
