@@ -173,10 +173,12 @@ class TTSEngine:
         self.version_spec = version_spec
         self.emotion_extractor = emotion_extractor
         self._jitted: dict = {}
-        # padding accounting across run_prepared calls (bench/monitoring):
+        # accounting across run_prepared calls (bench/monitoring):
         # capacity counts every frame the chip synthesized (padded batch x
-        # frame cap), delivered counts frames inside real requests' y_len
-        self.stats = {"frames_capacity": 0, "frames_delivered": 0}
+        # frame cap), delivered counts frames inside real requests' y_len,
+        # bytes_h2d counts request tensors shipped host->device
+        self.stats = {"frames_capacity": 0, "frames_delivered": 0,
+                      "bytes_h2d": 0}
         # fused Pallas MRF weights for the vocoder tail (inference fast
         # path; same parameters, weight-norm resolved). None disables.
         self.mrf_packed = None
@@ -474,6 +476,9 @@ class TTSEngine:
         stacked = [
             np.stack([pad(r.inputs[j]) for r in reqs]) for j in range(6)
         ]
+        self.stats["bytes_h2d"] = self.stats.get("bytes_h2d", 0) + sum(
+            a.nbytes for a in stacked
+        )
         if self.mesh is None:
             put = jnp.asarray
         else:
