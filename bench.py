@@ -179,6 +179,13 @@ def main() -> None:
     # -- train: full-geometry fused GAN step (hard-capped: the cold remote
     # compile is multi-minute and must never eat the whole budget) ---------
     out["train"] = run_stage("train", min(budget_left() - 90, 1100))
+    if "steps_per_s" not in out["train"] and budget_left() > 500:
+        # the remote compile service stalls sporadically; one retry often
+        # lands on a healthy window (the executable is persistent-cached)
+        log("[bench] retrying train stage ...")
+        retry = run_stage("train", min(budget_left() - 90, 900))
+        if "steps_per_s" in retry:
+            out["train"] = retry
     emit(out)
 
     # -- train_device: same step timed inside one on-device fori_loop,
