@@ -120,12 +120,15 @@ class MultiHeadAttention(nn.Module):
         scale = 1.0 / math.sqrt(k_channels)
 
         # Fused Pallas path: banded rel-pos self-attention with a 1-D sequence
-        # mask, no attention dropout, heads-shared table — i.e. every VITS2
-        # encoder/flow call site at inference. Selected per compile-target
-        # platform (the kernel only lowers on TPU).
+        # mask, heads-shared table — i.e. every VITS2 encoder/flow call site,
+        # inference AND training (the op carries a custom_vjp with Pallas
+        # backward kernels; attention-prob dropout runs in-kernel from a
+        # position hash). Selected per compile-target platform (the kernel
+        # only lowers on TPU).
         from bert_vits2_tpu.ops.attention_pallas import (
             banded_attention_supported,
             banded_rel_self_attention,
+            hash_dropout_probs,
         )
 
         if (
@@ -136,7 +139,6 @@ class MultiHeadAttention(nn.Module):
             and 2 * self.window_size + 1 <= t_s + 1
             and self.block_length is None
             and not self.proximal_bias
-            and (deterministic or self.p_dropout == 0.0)
             and banded_attention_supported(t_s)
             # flax init runs eagerly: don't pay a per-op Mosaic compile for
             # a kernel whose only job here would be producing shapes
@@ -154,17 +156,30 @@ class MultiHeadAttention(nn.Module):
                 nn.initializers.normal(rel_stddev),
                 (1, 2 * w + 1, k_channels),
             )
+            p_drop = 0.0 if deterministic else float(self.p_dropout)
+            if p_drop > 0.0:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (1,)),
+                    jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
 
-            def _fused(q, k, v, m, ek, ev):
-                return banded_rel_self_attention(q, k, v, m, ek, ev, w)
+            def _fused(q, k, v, m, ek, ev, seed):
+                return banded_rel_self_attention(
+                    q, k, v, m, ek, ev, w,
+                    dropout_p=p_drop, dropout_seed=seed,
+                )
 
-            def _dense(q, k, v, m, ek, ev):
+            def _dense(q, k, v, m, ek, ev, seed):
                 scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
                 rel_band = jnp.einsum("bhtd,cd->bhtc", q, ek)
                 scores = scores + _band_to_abs(rel_band, t_s, w)
                 am = m[:, None, :, None] * m[:, None, None, :]
                 scores = jnp.where(am == 0, -1e4, scores)
                 p_attn = jax.nn.softmax(scores, axis=-1)
+                if p_drop > 0.0:  # identical hash stream as the kernel
+                    p_attn = hash_dropout_probs(p_attn, p_drop, seed)
                 out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
                 band = _abs_to_band(p_attn, w)
                 return out + jnp.einsum("bhtc,cd->bhtd", band, ev)
@@ -177,6 +192,7 @@ class MultiHeadAttention(nn.Module):
                 x_mask_vec.astype(dt),
                 emb_rel_k[0].astype(dt),
                 emb_rel_v[0].astype(dt),
+                seed,
                 tpu=_fused,
                 default=_dense,
             )

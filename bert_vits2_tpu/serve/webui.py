@@ -46,7 +46,7 @@ PAGE = """<!DOCTYPE html>
  <div><label>语言 / Language
   <select id="language">
    <option>ZH</option><option>JP</option><option>EN</option>
-   <option>AUTO</option>
+   <option>AUTO</option><option>MIX</option>
   </select></label></div>
 </div>
 

@@ -24,11 +24,28 @@ logger = logging.getLogger("bert_vits2_tpu")
 
 BERT_DIM = 1024
 
-# language -> (default local path, HF tokenizer kind)
+def _asset_root() -> str:
+    """Root holding the `bert/` weight directory.
+
+    $BERT_VITS2_ASSET_ROOT wins; else a reference-style `./bert` beside the
+    current working directory; else the repo root — so a server launched
+    from anywhere still finds fetched weights instead of silently degrading
+    to noise (the old CWD-relative defaults did exactly that)."""
+    env = os.environ.get("BERT_VITS2_ASSET_ROOT")
+    if env:
+        return env
+    if os.path.isdir(os.path.join(os.getcwd(), "bert")):
+        return os.getcwd()
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+# language -> default local path (reference dir names, infer.py:34-41)
 DEFAULT_BERT_PATHS = {
-    "ZH": "./bert/chinese-roberta-wwm-ext-large",
-    "JP": "./bert/deberta-v2-large-japanese-char-wwm",
-    "EN": "./bert/deberta-v3-large",
+    "ZH": os.path.join(_asset_root(), "bert", "chinese-roberta-wwm-ext-large"),
+    "JP": os.path.join(_asset_root(), "bert",
+                       "deberta-v2-large-japanese-char-wwm"),
+    "EN": os.path.join(_asset_root(), "bert", "deberta-v3-large"),
 }
 
 
@@ -111,6 +128,23 @@ class AutoBertExtractor:
         self._noise = RandomBertExtractor(seed)
         self._real: dict = {}  # language -> (backend_name, extractor|None)
         self._shared_jax = None
+        if not allow_noise:
+            # fail FAST, as --require-bert documents ("error at load"):
+            # weight loading itself stays lazy, but presence is checked now
+            # so a misconfigured server does not boot and then 500 on the
+            # first request in a weightless language
+            missing = [
+                f"{lang} ({path!r})"
+                for lang, path in sorted(self.paths.items())
+                if not weights_present(path)
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    "allow_noise=False but local BERT weights are missing "
+                    f"for: {', '.join(missing)}; run `python -m "
+                    "bert_vits2_tpu.tools.fetch_assets --fetch` "
+                    "(docs/WEIGHTS.md)"
+                )
 
     def describe(self) -> dict[str, str]:
         """language -> backend name ("jax"/"torch"/"noise"), resolved ones

@@ -58,3 +58,16 @@ def test_run_stage_reports_subprocess_failure():
 def test_run_stage_skips_on_exhausted_budget():
     res = bench.run_stage("late", 5)  # below the 30s minimum
     assert "skipped" in res
+
+
+def test_run_stage_salvages_partial_json_on_timeout():
+    """A stage killed mid-work must not lose JSON lines it already printed
+    (VERDICT r4: train wall numbers died with the device-loop compile)."""
+    res = bench.run_stage(
+        "slowpoke", 10,  # interpreter startup alone is ~3.5s on this host
+        _cmd=[sys.executable, "-u", "-c",
+              "import time; print('{\"steps_per_s\": 5.0}', flush=True); "
+              "time.sleep(60)"],
+        _min_timeout=0)
+    assert res["steps_per_s"] == 5.0
+    assert res["stage_killed_at_s"] == 10

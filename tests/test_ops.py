@@ -263,3 +263,112 @@ class TestMASPallas:
         gold = maximum_path_numpy(neg, t_ys, t_xs)
         got = np.asarray(maximum_path_pallas(neg, t_ys, t_xs, interpret=True))
         np.testing.assert_array_equal(gold, got)
+
+
+class TestBandedAttentionVJP:
+    """The fused banded attention's custom_vjp (Pallas backward kernels,
+    interpret mode on CPU) against autodiff of the dense XLA formulation —
+    the same function the reference trains through (attentions.py:205-341,
+    incl. the attention-prob dropout at :278)."""
+
+    def _setup(self, b=2, h=2, t=64, d=32, w=4):
+        from bert_vits2_tpu.nn.attention import _abs_to_band, _band_to_abs
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+        ek = jnp.asarray(rng.normal(size=(2 * w + 1, d)) * 0.2, jnp.float32)
+        ev = jnp.asarray(rng.normal(size=(2 * w + 1, d)) * 0.2, jnp.float32)
+        lens = np.full((b,), t)
+        lens[-1] = t - 10
+        mask = jnp.asarray(
+            (np.arange(t)[None, :] < lens[:, None]).astype(np.float32)
+        )
+        seed = jnp.asarray([12345], jnp.int32)
+
+        def dense(q, k, v, ek, ev, p_drop):
+            from bert_vits2_tpu.ops.attention_pallas import hash_dropout_probs
+
+            scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
+            rel_band = jnp.einsum("bhtd,cd->bhtc", q, ek)
+            scores = scores + _band_to_abs(rel_band, t, w)
+            am = mask[:, None, :, None] * mask[:, None, None, :]
+            scores = jnp.where(am == 0, -1e4, scores)
+            p = jax.nn.softmax(scores, axis=-1)
+            if p_drop > 0.0:
+                p = hash_dropout_probs(p, p_drop, seed)
+            out = jnp.einsum("bhts,bhsd->bhtd", p, v)
+            band = _abs_to_band(p, w)
+            return out + jnp.einsum("bhtc,cd->bhtd", band, ev)
+
+        return (q, k, v, ek, ev), mask, seed, w, dense
+
+    @pytest.mark.parametrize("p_drop", [0.0, 0.1])
+    def test_grads_match_dense(self, p_drop):
+        from bert_vits2_tpu.ops.attention_pallas import banded_rel_self_attention
+
+        args, mask, seed, w, dense = self._setup()
+        vm = mask[:, None, :, None]
+
+        def fused(q, k, v, ek, ev):
+            return banded_rel_self_attention(
+                q, k, v, mask, ek, ev, w,
+                dropout_p=p_drop, dropout_seed=seed, interpret=True,
+            )
+
+        o1 = fused(*args)
+        o2 = dense(*args, p_drop)
+        # valid rows only: the kernel skips the query-row mask (consumers
+        # re-mask), so padded rows legitimately differ
+        np.testing.assert_allclose(
+            np.asarray((o1 - o2) * vm), 0.0, atol=1e-5
+        )
+        g1 = jax.grad(lambda a: jnp.sum((fused(*a) * vm) ** 2))(args)
+        g2 = jax.grad(lambda a: jnp.sum((dense(*a, p_drop) * vm) ** 2))(args)
+        for name, a, b_ in zip(("dq", "dk", "dv", "dek", "dev"), g1, g2):
+            scale = float(jnp.max(jnp.abs(b_))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b_) / scale,
+                atol=3e-5, err_msg=name,
+            )
+
+    def test_dropout_rate_determinism(self):
+        from bert_vits2_tpu.ops.attention_pallas import _drop_threshold, _hash_keep
+
+        rows = jnp.broadcast_to(jnp.arange(512)[:, None], (512, 512))
+        cols = jnp.broadcast_to(jnp.arange(512)[None, :], (512, 512))
+        k1 = _hash_keep(rows, cols, 3, jnp.int32(99), _drop_threshold(0.1))
+        k2 = _hash_keep(rows, cols, 3, jnp.int32(99), _drop_threshold(0.1))
+        k3 = _hash_keep(rows, cols, 3, jnp.int32(100), _drop_threshold(0.1))
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
+        assert not np.array_equal(np.asarray(k1), np.asarray(k3))
+        rate = float(jnp.mean(k1))
+        assert abs(rate - 0.9) < 0.01  # Bernoulli(0.9) over 262k positions
+
+    def test_module_train_mode_grads_flow(self):
+        """MultiHeadAttention in train mode (dropout on) takes the hash-
+        dropout dispatch on CPU; grads are finite and depend on the rng."""
+        from bert_vits2_tpu.nn.attention import MultiHeadAttention
+
+        rng = np.random.default_rng(5)
+        b, t, ch, h = 2, 64, 32, 2
+        x = jnp.asarray(rng.normal(size=(b, t, ch)), jnp.float32)
+        mask = jnp.ones((b, t), jnp.float32)
+        am = mask[:, None, :, None] * mask[:, None, None, :]
+        att = MultiHeadAttention(ch, ch, h, window_size=4, p_dropout=0.25)
+        params = att.init(jax.random.key(0), x, x, am)
+
+        def loss(p, key):
+            y = att.apply(
+                p, x, x, am, x_mask_vec=mask, deterministic=False,
+                rngs={"dropout": key},
+            )
+            return jnp.sum(y**2)
+
+        g1 = jax.grad(loss)(params, jax.random.key(1))
+        leaves = jax.tree.leaves(g1)
+        assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+        l1 = loss(params, jax.random.key(1))
+        l2 = loss(params, jax.random.key(2))
+        assert float(l1) != float(l2)  # dropout stream actually applied
