@@ -409,19 +409,51 @@ for _tok in _CHAR_DATA4.split():
         CHAR_PINYIN.setdefault(_tok[0], _tok[1:])
 
 
-def word_to_pinyin(word: str) -> list[str | None]:
-    """Word -> per-character tone-numbered pinyin (None for unknown chars)."""
+@lru_cache(maxsize=1)
+def phrase_pinyin() -> dict[str, list[str]]:
+    """Layer 1.5: vendored multi-character phrase readings
+    (assets/zh_phrases.tsv; ~1.5k entries, CC-CEDICT-convention curation) —
+    the stand-in for pypinyin's phrase dictionary (reference
+    text/chinese.py:79-184). Hand WORD_PINYIN overrides take precedence."""
+    path = os.path.join(os.path.dirname(__file__), "assets",
+                        "zh_phrases.tsv")
+    table: dict[str, list[str]] = {}
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                w, _, p = line.rstrip("\n").partition("\t")
+                if w and p:
+                    table[w] = p.split()
+    except OSError:
+        pass
+    return table
+
+
+def _lookup_word(word: str) -> list[str] | None:
+    """Exact multi-char lookup across the override + phrase layers."""
     if word in WORD_PINYIN:
         return list(WORD_PINYIN[word])
+    hit = phrase_pinyin().get(word)
+    return list(hit) if hit else None
+
+
+def word_to_pinyin(word: str) -> list[str | None]:
+    """Word -> per-character tone-numbered pinyin (None for unknown chars)."""
+    exact = _lookup_word(word)
+    if exact is not None:
+        return exact
     out: list[str | None] = []
     i = 0
     while i < len(word):
-        # greedy word-override lookup inside longer jieba tokens
+        # greedy word lookup inside longer jieba tokens (overrides first,
+        # then the vendored phrase layer)
         matched = False
         for j in range(min(len(word), i + 4), i + 1, -1):
-            sub = word[i:j]
-            if sub in WORD_PINYIN:
-                out.extend(WORD_PINYIN[sub])
+            hit = _lookup_word(word[i:j])
+            if hit is not None:
+                out.extend(hit)
                 i = j
                 matched = True
                 break

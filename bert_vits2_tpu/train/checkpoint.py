@@ -35,8 +35,16 @@ def save_train_state(directory: str, step: int, state, keep: int = 8) -> None:
 
     if getattr(state, "params_slm", None) is not None:
         state = state.replace(params_slm=None)
+    if jax.process_count() == 1:
+        # single host: pull to host numpy first (fast path; also strips
+        # device commitment so the entry is topology-agnostic)
+        state = jax.tree.map(np.asarray, state)
+    # multi-process: leave the sharded jax.Arrays in place — orbax gathers
+    # each process's addressable shards collectively; np.asarray on a
+    # non-fully-addressable array would throw (reference's torch.save has
+    # no analog: it only ever runs on rank 0 with full host copies)
     with _mgr(directory, keep) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)))
+        mgr.save(step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()
 
 

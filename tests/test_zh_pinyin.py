@@ -322,6 +322,148 @@ POLYPHONE_CORPUS = [
     ("处境艰难", "处境", ["chu3", "jing4"]),
     ("干部考核", "干部", ["gan4", "bu4"]),
     ("聪明能干", "能干", ["neng2", "gan4"]),
+    # ---- round 5: phrase-layer additions (assets/zh_phrases.tsv) ----
+    # neutral-tone suffixes
+    ("桌子上放着书", "桌子", ["zhuo1", "zi5"]),
+    ("石头很重", "石头", ["shi2", "tou5"]),
+    ("我的耳朵疼", "耳朵", ["er3", "duo5"]),
+    ("葡萄很甜", "葡萄", ["pu2", "tao5"]),
+    ("豆腐便宜", "豆腐", ["dou4", "fu5"]),
+    ("衣裳很干净", "衣裳", ["yi1", "shang5"]),
+    ("拿好钥匙", "钥匙", ["yao4", "shi5"]),
+    ("他很客气", "客气", ["ke4", "qi5"]),
+    ("别着急", "着急", ["zhao2", "ji2"]),
+    ("脑袋很大", "脑袋", ["nao3", "dai5"]),
+    ("胳膊受伤了", "胳膊", ["ge1", "bo5"]),
+    ("狐狸很狡猾", "狐狸", ["hu2", "li5"]),
+    ("骆驼在沙漠里", "骆驼", ["luo4", "tuo5"]),
+    ("吃个萝卜", "萝卜", ["luo2", "bo5"]),
+    # surnames / place names with special readings
+    ("重庆火锅很辣", "重庆", ["chong2", "qing4"]),
+    ("厦门靠海", "厦门", ["xia4", "men2"]),
+    ("他住在西藏", "西藏", ["xi1", "zang4"]),
+    ("成都是大都市", "成都", ["cheng2", "du1"]),
+    ("单于南下", "单于", ["chan2", "yu2"]),
+    ("六安产茶", "六安", ["lu4", "an1"]),
+    ("蚌埠通火车", "蚌埠", ["beng4", "bu4"]),
+    ("番禺在广州", "番禺", ["pan1", "yu2"]),
+    ("燕京啤酒", "燕京", ["yan1", "jing1"]),
+    # polyphones in context
+    ("他会弹钢琴", "弹钢琴", ["tan2", "gang1", "qin2"]),
+    ("捡到一枚弹壳", "弹壳", ["dan4", "ke2"]),
+    ("地壳运动", "地壳", ["di4", "qiao4"]),
+    ("这首曲子好听", "曲子", ["qu3", "zi5"]),
+    ("道路弯曲", "弯曲", ["wan1", "qu1"]),
+    ("不要折腾", "折腾", ["zhe1", "teng5"]),
+    ("商场打折", "打折", ["da3", "zhe2"]),
+    ("汽车旋转起来", "旋转", ["xuan2", "zhuan3"]),
+    ("坐车会晕车", "晕车", ["yun4", "che1"]),
+    ("验血查血压", "血压", ["xue4", "ya1"]),
+    ("住宿一晚", "住宿", ["zhu4", "su4"]),
+    ("提高效率", "效率", ["xiao4", "lv4"]),
+    ("率领队伍", "率领", ["shuai4", "ling3"]),
+    ("自我反省", "反省", ["fan2", "xing3"]),
+    ("心脏健康", "心脏", ["xin1", "zang4"]),
+    ("说脏话不好", "脏话", ["zang1", "hua4"]),
+    ("基础扎实", "扎实", ["zha1", "shi2"]),
+    ("苦苦挣扎", "挣扎", ["zheng1", "zha2"]),
+    ("历史记载", "记载", ["ji4", "zai3"]),
+    ("关卡很严", "关卡", ["guan1", "qia3"]),
+    ("这个模样", "模样", ["mu2", "yang5"]),
+    ("制作模型", "模型", ["mo2", "xing2"]),
+    ("正月十五", "正月", ["zheng1", "yue4"]),
+    ("落枕了很疼", "落枕", ["lao4", "zhen3"]),
+    ("扮演角色", "角色", ["jue2", "se4"]),
+    ("猪圈很臭", "猪圈", ["zhu1", "juan4"]),
+    ("水分充足", "水分", ["shui3", "fen4"]),
+    ("埋怨别人", "埋怨", ["man2", "yuan4"]),
+    ("屋里闷热", "闷热", ["men1", "re4"]),
+    ("内蒙古草原", "蒙古", ["meng3", "gu3"]),
+    ("恶心想吐", "恶心", ["e3", "xin1"]),
+    ("令人厌恶", "厌恶", ["yan4", "wu4"]),
+    ("身分证明", "身分", ["shen1", "fen4"]),
+    ("墙上有裂缝", "裂缝", ["lie4", "feng4"]),
+    ("缝补衣服", "缝补", ["feng2", "bu3"]),
+    ("将领出征", "将领", ["jiang4", "ling3"]),
+    ("情不自禁", "情不自禁", ["qing2", "bu2", "zi4", "jin1"]),
+    ("尽量早到", "尽量", ["jin3", "liang4"]),
+    ("走到尽头", "尽头", ["jin4", "tou2"]),
+    ("一块空地", "空地", ["kong4", "di5"]),
+    ("工作劳累", "劳累", ["lao2", "lei4"]),
+    ("积累经验", "积累", ["ji1", "lei3"]),
+    ("测量体温", "测量", ["ce4", "liang2"]),
+    ("产品质量", "质量", ["zhi4", "liang4"]),
+    ("鸟笼挂着", "鸟笼", ["niao3", "long2"]),
+    ("笼罩大地", "笼罩", ["long3", "zhao4"]),
+    ("遇难同胞", "遇难", ["yu4", "nan4"]),
+    ("店铺开门", "店铺", ["dian4", "pu4"]),
+    ("铺路修桥", "铺路", ["pu1", "lu4"]),
+    ("奇数偶数", "奇数", ["ji1", "shu4"]),
+    ("悄然离开", "悄然", ["qiao3", "ran2"]),
+    ("关系密切", "密切", ["mi4", "qie4"]),
+    ("出去散步", "散步", ["san4", "bu4"]),
+    ("写散文", "散文", ["san3", "wen2"]),
+    ("舍不得离开", "舍不得", ["she3", "bu5", "de5"]),
+    ("饭菜煮熟了", "煮熟", ["zhu3", "shou2"]),
+    ("交通堵塞", "堵塞", ["du3", "se4"]),
+    ("塞子塞紧", "塞子", ["sai1", "zi5"]),
+    ("垂头丧气", "丧气", ["sang4", "qi5"]),
+    ("提供帮助", "提供", ["ti2", "gong1"]),
+    ("供品摆好", "供品", ["gong4", "pin3"]),
+    ("称呼长辈", "称呼", ["cheng1", "hu5"]),
+    ("称心如意", "称心", ["chen4", "xin1"]),
+    ("投降敌人", "投降", ["tou2", "xiang2"]),
+    ("飞机降落", "降落", ["jiang4", "luo4"]),
+    ("朝阳升起", "朝阳", ["zhao1", "yang2"]),
+    ("唐朝诗人", "唐朝", ["tang2", "chao2"]),
+    ("屡见不鲜", "屡见不鲜", ["lv3", "jian4", "bu4", "xian1"]),
+    ("参差不齐", "参差", ["cen1", "ci1"]),
+    ("人参很贵", "人参", ["ren2", "shen1"]),
+    ("大腹便便", "便便", ["pian2", "pian2"]),
+    ("自给自足", "自给自足", ["zi4", "ji3", "zi4", "zu2"]),
+    ("供给不足", "供给", ["gong1", "ji3"]),
+    ("泄露秘密", "泄露", ["xie4", "lou4"]),
+    ("露天电影", "露天", ["lu4", "tian1"]),
+    ("鸭绿江边", "鸭绿江", ["ya1", "lu4", "jiang1"]),
+    ("湖泊很多", "湖泊", ["hu2", "po1"]),
+    ("船只停泊", "停泊", ["ting2", "bo2"]),
+    ("漂亮衣服", "漂亮", ["piao4", "liang5"]),
+    ("河水漂流", "漂流", ["piao1", "liu2"]),
+    ("挑水浇地", "挑水", ["tiao1", "shui3"]),
+    ("挑战自我", "挑战", ["tiao3", "zhan4"]),
+    ("乌龟爬行", "乌龟", ["wu1", "gui1"]),
+    ("田地龟裂", "龟裂", ["jun1", "lie4"]),
+    ("山脉绵延", "山脉", ["shan1", "mai4"]),
+    ("温情脉脉", "脉脉", ["mo4", "mo4"]),
+    ("睡个午觉", "午觉", ["wu3", "jiao4"]),
+    ("自觉遵守", "自觉", ["zi4", "jue2"]),
+    ("撒谎不对", "撒谎", ["sa1", "huang3"]),
+    ("撒种插秧", "撒种", ["sa2", "zhong3"]),
+    ("传记文学", "传记", ["zhuan4", "ji4"]),
+    ("宣传政策", "宣传", ["xuan1", "chuan2"]),
+    ("播种小麦的播种机", "播种机", ["bo1", "zhong4", "ji1"]),
+    ("兴高采烈", "兴高采烈", ["xing4", "gao1", "cai3", "lie4"]),
+    ("兴旺发达", "兴旺", ["xing1", "wang4"]),
+    ("恐吓别人", "恐吓", ["kong3", "he4"]),
+    ("吓唬小孩", "吓唬", ["xia4", "hu5"]),
+    ("负荷过重", "负荷", ["fu4", "he4"]),
+    ("荷花盛开", "荷花", ["he2", "hua1"]),
+    ("经济发展", "经济", ["jing1", "ji4"]),
+    ("人才济济", "济济", ["ji3", "ji5"]),
+    ("首相访问", "首相", ["shou3", "xiang4"]),
+    ("互相帮助", "互相", ["hu4", "xiang1"]),
+    ("参与讨论", "参与", ["can1", "yu4"]),
+    ("咬文嚼字", "咬文嚼字", ["yao3", "wen2", "jiao2", "zi4"]),
+    ("细嚼慢咽", "细嚼慢咽", ["xi4", "jiao2", "man4", "yan4"]),
+    ("咽喉肿痛", "咽喉", ["yan1", "hou2"]),
+    ("一唱一和", "一唱一和", ["yi2", "chang4", "yi2", "he4"]),
+    ("随声附和", "附和", ["fu4", "he4"]),
+    ("天气暖和", "暖和", ["nuan3", "huo5"]),
+    ("薄荷味道", "薄荷", ["bo4", "he5"]),
+    ("力量单薄", "单薄", ["dan1", "bo2"]),
+    ("薄饼好吃", "薄饼", ["bao2", "bing3"]),
+    ("背包上学", "背包", ["bei1", "bao1"]),
+    ("背诵课文", "背诵", ["bei4", "song4"]),
 ]
 
 
