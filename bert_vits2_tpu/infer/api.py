@@ -293,14 +293,26 @@ class TTSEngine:
             return 1, 0
         return 0, int(a.shape[-1])
 
-    def _pack_host(self, reqs: list, t_x: int):
-        """-> (ints [b, 3*t_x + 2 + e_int], floats [b, 3*t_x*D + 4 + e_f])."""
+    def _bert_offsets(self, t_x: int):
+        """Per-slot float-buffer layout: the three BERT widths are NOT
+        uniform across version families (V1.1 checkpoints take a 768-d
+        ja_bert, ModelConfig.ja_bert_dim). -> (dims, offsets[4])."""
         cfg = self.model.cfg
-        d = cfg.bert_dim
+        dims = (cfg.bert_dim, getattr(cfg, "ja_bert_dim", cfg.bert_dim),
+                cfg.bert_dim)
+        offs = [0]
+        for d in dims:
+            offs.append(offs[-1] + t_x * d)
+        return dims, offs
+
+    def _pack_host(self, reqs: list, t_x: int):
+        """-> (ints [b, 3*t_x + 2 + e_int],
+               floats [b, sum(t_x*D_j) + 4 + e_f])."""
         b = len(reqs)
         e_int, e_f = self._emo_kind(reqs)
+        dims, offs = self._bert_offsets(t_x)
         ints = np.zeros((b, 3 * t_x + 2 + e_int), np.int32)
-        floats = np.zeros((b, 3 * t_x * d + 4 + e_f), np.float32)
+        floats = np.zeros((b, offs[-1] + 4 + e_f), np.float32)
         for i, r in enumerate(reqs):
             tl = len(r.inputs[0])
             for j in range(3):
@@ -311,12 +323,12 @@ class TTSEngine:
                 ints[i, 3 * t_x + 2] = int(np.asarray(r.emo).reshape(-1)[0])
             for j in range(3):
                 flat = np.asarray(r.inputs[3 + j], np.float32).reshape(-1)
-                floats[i, j * t_x * d : j * t_x * d + tl * d] = flat
-            floats[i, 3 * t_x * d : 3 * t_x * d + 4] = (
+                floats[i, offs[j] : offs[j] + tl * dims[j]] = flat
+            floats[i, offs[-1] : offs[-1] + 4] = (
                 r.noise_scale, r.length_scale, r.noise_scale_w, r.sdp_ratio,
             )
             if e_f:
-                floats[i, 3 * t_x * d + 4 :] = np.asarray(
+                floats[i, offs[-1] + 4 :] = np.asarray(
                     r.emo, np.float32
                 ).reshape(-1)
         return ints, floats
@@ -348,17 +360,17 @@ class TTSEngine:
 
     def _unpack(self, ibuf, fbuf, idx, t_x: int, e_int: int, e_f: int):
         """Traced: gather rows `idx` and slice the packed layout apart."""
-        d = self.model.cfg.bert_dim
+        dims, offs = self._bert_offsets(t_x)
         ii = ibuf[idx]
         ff = fbuf[idx]
         x, tone, lang = (ii[:, j * t_x : (j + 1) * t_x] for j in range(3))
         lens = ii[:, 3 * t_x]
         sids = ii[:, 3 * t_x + 1]
         berts = [
-            ff[:, j * t_x * d : (j + 1) * t_x * d].reshape(-1, t_x, d)
+            ff[:, offs[j] : offs[j + 1]].reshape(-1, t_x, dims[j])
             for j in range(3)
         ]
-        k0 = 3 * t_x * d
+        k0 = offs[-1]
         knobs = {
             "noise_scale": ff[:, k0],
             "length_scale": ff[:, k0 + 1],
@@ -458,14 +470,12 @@ class TTSEngine:
             mf = self._frame_cap(t_x, length_scale)
             fn = self._synth_fn(t_x, mf, e_int, e_f)
             self._predict_fn(t_x, e_int, e_f)  # compiles on first call
+            _, offs = self._bert_offsets(t_x)
             for b in batch_sizes:
                 ibuf = jnp.zeros((b, 3 * t_x + 2 + e_int), jnp.int32)
                 ibuf = ibuf.at[:, 3 * t_x].set(t_x)  # x_lengths
-                fbuf = jnp.zeros(
-                    (b, 3 * t_x * cfg.bert_dim + 4 + e_f), jnp.float32
-                )
-                fbuf = fbuf.at[:, 3 * t_x * cfg.bert_dim :
-                               3 * t_x * cfg.bert_dim + 4].set(0.5)
+                fbuf = jnp.zeros((b, offs[-1] + 4 + e_f), jnp.float32)
+                fbuf = fbuf.at[:, offs[-1] : offs[-1] + 4].set(0.5)
                 out = fn(
                     self.params, self.mrf_packed, ibuf, fbuf,
                     jnp.arange(b, dtype=jnp.int32), jax.random.key(0),

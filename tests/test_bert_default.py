@@ -87,11 +87,12 @@ class TestAutoBertExtractor:
         assert ext.describe()["JP"] == "noise"
 
     def test_allow_noise_false_raises(self, tmp_path):
-        ext = AutoBertExtractor(
-            paths={"ZH": str(tmp_path / "missing")}, allow_noise=False
-        )
-        with pytest.raises(FileNotFoundError, match="allow_noise_bert"):
-            ext("你好", [1, 2, 2, 1], "ZH")
+        # fails FAST at construction (ADVICE r4): a server started with
+        # --require-bert must abort at load, not 500 on the first request
+        with pytest.raises(FileNotFoundError, match="allow_noise=False"):
+            AutoBertExtractor(
+                paths={"ZH": str(tmp_path / "missing")}, allow_noise=False
+            )
 
     def test_style_text_mixing_changes_features(self, zh_weights_dir):
         ext = AutoBertExtractor(paths={"ZH": zh_weights_dir})
