@@ -10,6 +10,7 @@ reference (one relative embedding table shared across heads).
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import jax
@@ -121,10 +122,16 @@ class MultiHeadAttention(nn.Module):
 
         # Fused Pallas path: banded rel-pos self-attention with a 1-D sequence
         # mask, heads-shared table — i.e. every VITS2 encoder/flow call site,
-        # inference AND training (the op carries a custom_vjp with Pallas
-        # backward kernels; attention-prob dropout runs in-kernel from a
-        # position hash). Selected per compile-target platform (the kernel
-        # only lowers on TPU).
+        # at INFERENCE. The op also carries a custom_vjp with Pallas backward
+        # kernels (in-kernel position-hash dropout), but the TRAINING
+        # direction defaults to the dense XLA path: a full-train-step A/B
+        # (tools/ab_train_attention.py, v5e) measured the composed step 4.5%
+        # FASTER with dense attention (6.68 vs 6.38 steps/s on-device) even
+        # though the kernel wins 1.8x in isolation — the custom_vjp boundary
+        # blocks XLA fusion/remat around the call. Opt the training direction
+        # back in with BV2_FUSED_ATTENTION_TRAIN=1 (exact-gradient tests in
+        # tests/test_ops.py keep the VJP correct). Selected per
+        # compile-target platform (the kernel only lowers on TPU).
         from bert_vits2_tpu.ops.attention_pallas import (
             banded_attention_supported,
             banded_rel_self_attention,
@@ -140,6 +147,8 @@ class MultiHeadAttention(nn.Module):
             and self.block_length is None
             and not self.proximal_bias
             and banded_attention_supported(t_s)
+            and (deterministic
+                 or os.environ.get("BV2_FUSED_ATTENTION_TRAIN") == "1")
             # flax init runs eagerly: don't pay a per-op Mosaic compile for
             # a kernel whose only job here would be producing shapes
             and not self.is_initializing()
