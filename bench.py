@@ -226,11 +226,10 @@ def main() -> None:
         out["headline"] = h
         emit(out)
 
-    # -- train: full-geometry fused GAN step, wall + on-device fori_loop
-    # timing in ONE stage (the loop reuses the setup; its partial wall JSON
-    # survives a stage kill via the orchestrator's pipe salvage). Hard-
-    # capped: the cold remote compile is multi-minute and must never eat
-    # the whole budget. ----------------------------------------------------
+    # -- train: full-geometry fused GAN step. Preferred path: the background
+    # process (which already paid setup + trace + compile during quick/
+    # headline) measures on the chip-free signal. Fallback: the foreground
+    # stage, hard-capped and partial-banking. -------------------------------
     bg_train = None
     if tc is not None:
         # the chip is free now — signal the background train process to run
